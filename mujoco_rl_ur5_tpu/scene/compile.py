@@ -1,0 +1,495 @@
+"""Lower a parsed :class:`SceneSpec` to a frozen device :class:`Model`.
+
+Compile-time work (host, numpy): flatten the body tree, derive inertials
+(MuJoCo ``inertiafromgeom="true"`` semantics — explicit inertials ignored,
+masses from geom volumes at geom density; mesh geoms use the legacy
+convex-decomposition integrals, see scene/mesh.py), lay out qpos/dof
+addressing identical to MuJoCo's (so states are directly comparable with the
+engine the reference uses), group dofs into independent kinematic trees for
+block-diagonal mass-matrix factorization, enumerate static contact candidate
+pairs, and fit collision proxies for mesh geoms.
+
+Reference behavior being reproduced: model loading at
+/root/reference/gym_grasper/controller/MujocoController.py:33
+(`mp.load_model_from_path`) and the model introspection surface the controller
+reads (jnt_range, actuator_trnid, cam_fovy, stat.extent, …).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mujoco_rl_ur5_tpu.scene import mjcf
+from mujoco_rl_ur5_tpu.scene.mesh import MeshData, principal_inertia, process_mesh
+from mujoco_rl_ur5_tpu.scene.mjcf import (
+    GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_ELLIPSOID, GEOM_MESH,
+    GEOM_PLANE, GEOM_SPHERE, JNT_BALL, JNT_FREE, JNT_HINGE, JNT_SLIDE,
+    JNT_DOF, JNT_NQ, BodySpec, SceneSpec,
+)
+from mujoco_rl_ur5_tpu.scene.model import Model, Topology
+
+
+def _quat_mul(u, v):
+    w = u[0] * v[0] - u[1] * v[1] - u[2] * v[2] - u[3] * v[3]
+    x = u[0] * v[1] + u[1] * v[0] + u[2] * v[3] - u[3] * v[2]
+    y = u[0] * v[2] - u[1] * v[3] + u[2] * v[0] + u[3] * v[1]
+    z = u[0] * v[3] + u[1] * v[2] - u[2] * v[1] + u[3] * v[0]
+    return np.array([w, x, y, z])
+
+
+def _quat_rot(q, v):
+    w, u = q[0], q[1:]
+    uv = np.cross(u, v)
+    return v + 2.0 * (w * uv + np.cross(u, uv))
+
+
+def _quat_mat(q):
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# geom mass properties (unit = given density)
+# ---------------------------------------------------------------------------
+
+
+def _geom_mass_props(g: mjcf.GeomSpec, meshes: dict[str, MeshData]):
+    """Return (mass, com_local, inertia_3x3_about_com_in_geom_frame)."""
+    t, s, rho = g.type, g.size, g.density
+    if t == GEOM_SPHERE:
+        v = 4.0 / 3.0 * np.pi * s[0] ** 3
+        m = rho * v
+        i = 2.0 / 5.0 * m * s[0] ** 2 * np.eye(3)
+        return m, np.zeros(3), i
+    if t == GEOM_BOX:
+        v = 8.0 * s[0] * s[1] * s[2]
+        m = rho * v
+        i = m / 3.0 * np.diag([s[1] ** 2 + s[2] ** 2, s[0] ** 2 + s[2] ** 2, s[0] ** 2 + s[1] ** 2])
+        return m, np.zeros(3), i
+    if t == GEOM_ELLIPSOID:
+        v = 4.0 / 3.0 * np.pi * s[0] * s[1] * s[2]
+        m = rho * v
+        i = m / 5.0 * np.diag([s[1] ** 2 + s[2] ** 2, s[0] ** 2 + s[2] ** 2, s[0] ** 2 + s[1] ** 2])
+        return m, np.zeros(3), i
+    if t == GEOM_CYLINDER:
+        r, h = s[0], s[1]
+        v = 2.0 * np.pi * r * r * h
+        m = rho * v
+        ixy = m * (3 * r * r + 4 * h * h) / 12.0
+        return m, np.zeros(3), np.diag([ixy, ixy, m * r * r / 2.0])
+    if t == GEOM_CAPSULE:
+        r, h = s[0], s[1]
+        m_cyl = rho * 2.0 * np.pi * r * r * h
+        m_hs = rho * 2.0 / 3.0 * np.pi * r ** 3  # each hemisphere
+        m = m_cyl + 2 * m_hs
+        iz = m_cyl * r * r / 2.0 + 2 * m_hs * (2.0 / 5.0) * r * r
+        # hemisphere about its COM (3r/8 above flat face): 83/320 m r^2
+        i_h_com = (83.0 / 320.0) * m_hs * r * r
+        d = h + 3.0 * r / 8.0
+        ixy = (
+            m_cyl * (3 * r * r + 4 * h * h) / 12.0
+            + 2 * (i_h_com + m_hs * d * d)
+        )
+        return m, np.zeros(3), np.diag([ixy, ixy, iz])
+    if t == GEOM_MESH:
+        md = meshes[g.mesh]
+        m = rho * md.volume
+        return m, md.com.copy(), rho * md.inertia_com
+    # planes / hfields: massless
+    return 0.0, np.zeros(3), np.zeros((3, 3))
+
+
+def _body_inertial(body: BodySpec, meshes, inertiafromgeom: bool):
+    """Mass, COM (body frame), principal inertia + orientation quaternion."""
+    use_geoms = inertiafromgeom or body.inertial is None
+    if not use_geoms:
+        it = body.inertial
+        if it.diaginertia is not None:
+            return it.mass, it.pos, it.diaginertia, it.quat
+        full = np.zeros((3, 3))
+        if it.fullinertia is not None:
+            f = it.fullinertia
+            full = np.array([[f[0], f[3], f[4]], [f[3], f[1], f[5]], [f[4], f[5], f[2]]])
+        diag, q = principal_inertia(1.0, full)
+        return it.mass, it.pos, diag, _quat_mul(it.quat, q)
+    # accumulate geoms
+    total_m = 0.0
+    msum = np.zeros(3)
+    for g in body.geoms:
+        m, c, _ = _geom_mass_props(g, meshes)
+        cw = g.pos + _quat_rot(g.quat, c)
+        total_m += m
+        msum += m * cw
+    if total_m <= 0.0:
+        return 0.0, np.zeros(3), np.zeros(3), np.array([1.0, 0, 0, 0])
+    com = msum / total_m
+    itot = np.zeros((3, 3))
+    for g in body.geoms:
+        m, c, i_local = _geom_mass_props(g, meshes)
+        r = _quat_mat(g.quat)
+        i_rot = r @ i_local @ r.T
+        d = g.pos + _quat_rot(g.quat, c) - com
+        itot += i_rot + m * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
+    diag, q = principal_inertia(1.0, itot)
+    return total_m, com, diag, q
+
+
+# ---------------------------------------------------------------------------
+# compiler
+# ---------------------------------------------------------------------------
+
+
+def compile_spec(spec: SceneSpec, dtype=np.float32) -> Model:
+    import jax.numpy as jnp
+
+    # ---- process meshes used by geoms
+    meshes: dict[str, MeshData] = {}
+    used = set()
+
+    def collect(b: BodySpec):
+        for g in b.geoms:
+            if g.type == GEOM_MESH:
+                used.add(g.mesh)
+        for c in b.bodies:
+            collect(c)
+
+    collect(spec.worldbody)
+    for name in sorted(used):
+        meshes[name] = process_mesh(name, spec.meshes[name], spec.mesh_scales.get(name))
+
+    # ---- flatten bodies in document (MuJoCo) order
+    bodies: list[BodySpec] = []
+    parent: list[int] = []
+
+    def flatten(b: BodySpec, pid: int):
+        bid = len(bodies)
+        bodies.append(b)
+        parent.append(pid)
+        for c in b.bodies:
+            flatten(c, bid)
+
+    flatten(spec.worldbody, -1)
+    nbody = len(bodies)
+    body_names = tuple(b.name for b in bodies)
+
+    # ---- joints, qpos/dof addressing (document order == MuJoCo order)
+    jnt_specs, jnt_body, body_jntadr, body_jntnum = [], [], [], []
+    for bid, b in enumerate(bodies):
+        body_jntadr.append(len(jnt_specs) if b.joints else -1)
+        body_jntnum.append(len(b.joints))
+        for j in b.joints:
+            jnt_specs.append(j)
+            jnt_body.append(bid)
+    njnt = len(jnt_specs)
+    jnt_type = np.array([j.type for j in jnt_specs], dtype=np.int32)
+    jnt_qposadr = np.zeros(njnt, dtype=np.int32)
+    jnt_dofadr = np.zeros(njnt, dtype=np.int32)
+    nq = nv = 0
+    for i, j in enumerate(jnt_specs):
+        jnt_qposadr[i], jnt_dofadr[i] = nq, nv
+        nq += JNT_NQ[j.type]
+        nv += JNT_DOF[j.type]
+
+    dof_jnt = np.concatenate(
+        [np.full(JNT_DOF[j.type], i, dtype=np.int32) for i, j in enumerate(jnt_specs)]
+    ) if njnt else np.zeros(0, np.int32)
+    dof_body = np.array([jnt_body[j] for j in dof_jnt], dtype=np.int32)
+
+    # ---- kinematic trees
+    body_tree = np.full(nbody, -1, dtype=np.int32)
+    tree_root = []
+    for bid in range(1, nbody):
+        pid = parent[bid]
+        if body_tree[pid] >= 0:
+            body_tree[bid] = body_tree[pid]
+        elif body_jntnum[bid] > 0:
+            body_tree[bid] = len(tree_root)
+            tree_root.append(bid)
+    ntree = len(tree_root)
+    dof_tree = body_tree[dof_body] if nv else np.zeros(0, np.int32)
+    dof_treeidx = np.zeros(nv, dtype=np.int32)
+    counts = [0] * ntree
+    for d in range(nv):
+        t = int(dof_tree[d])
+        dof_treeidx[d] = counts[t]
+        counts[t] += 1
+    mtdof = max(counts) if counts else 1
+
+    # ---- per-dof ancestor chains (within tree, incl. self; -1 padded)
+    body_joint_dofs: list[list[int]] = [[] for _ in range(nbody)]
+    for d in range(nv):
+        body_joint_dofs[dof_body[d]].append(d)
+    dof_ancestors = np.full((nv, mtdof), -1, dtype=np.int32)
+    for d in range(nv):
+        chain = []
+        bid = int(dof_body[d])
+        # dofs of this body's joints up to and including d
+        chain.extend(x for x in body_joint_dofs[bid] if x <= d)
+        pid = parent[bid]
+        while pid >= 0 and body_tree[pid] == body_tree[bid]:
+            chain.extend(body_joint_dofs[pid])
+            pid = parent[pid]
+        chain = sorted(chain)
+        dof_ancestors[d, : len(chain)] = chain
+
+    # ---- body levels (moving bodies only, parent-before-child)
+    depth = np.zeros(nbody, dtype=np.int32)
+    for bid in range(1, nbody):
+        depth[bid] = depth[parent[bid]] + 1
+    moving = body_tree >= 0
+    levels = []
+    if moving.any():
+        for lev in range(1, int(depth[moving].max()) + 1):
+            ids = np.nonzero(moving & (depth == lev))[0].astype(np.int32)
+            if ids.size:
+                levels.append(ids)
+
+    # ---- default (qpos0) kinematics, host-side, also gives static body poses
+    qpos0 = np.zeros(nq)
+    xpos0 = np.zeros((nbody, 3))
+    xquat0 = np.zeros((nbody, 4))
+    xquat0[:, 0] = 1.0
+    for bid in range(1, nbody):
+        pid = parent[bid]
+        b = bodies[bid]
+        xpos0[bid] = xpos0[pid] + _quat_rot(xquat0[pid], b.pos)
+        xquat0[bid] = _quat_mul(xquat0[pid], b.quat)
+    for i, j in enumerate(jnt_specs):
+        qa = jnt_qposadr[i]
+        if j.type == JNT_FREE:
+            bid = jnt_body[i]
+            qpos0[qa : qa + 3] = xpos0[bid]
+            qpos0[qa + 3 : qa + 7] = xquat0[bid]
+        elif j.type == JNT_BALL:
+            qpos0[qa : qa + 4] = [1, 0, 0, 0]
+        else:
+            qpos0[qa] = j.ref
+
+    # ---- per-dof damping/armature
+    dof_damping = np.zeros(nv)
+    dof_armature = np.zeros(nv)
+    for d in range(nv):
+        j = jnt_specs[dof_jnt[d]]
+        dof_damping[d] = j.damping
+        dof_armature[d] = j.armature
+
+    # ---- geoms
+    geom_specs, geom_body = [], []
+    for bid, b in enumerate(bodies):
+        for g in b.geoms:
+            geom_specs.append(g)
+            geom_body.append(bid)
+    ngeom = len(geom_specs)
+    geom_body = np.array(geom_body, dtype=np.int32)
+    g_type = np.array([g.type for g in geom_specs], dtype=np.int32)
+    g_size = np.array([g.size for g in geom_specs])
+    g_pos = np.array([g.pos for g in geom_specs])
+    g_quat = np.array([g.quat for g in geom_specs])
+    g_rgba = np.array([g.rgba for g in geom_specs])
+    g_fric = np.array([g.friction for g in geom_specs])
+    g_margin = np.array([g.margin for g in geom_specs])
+    g_solref = np.array([g.solref for g in geom_specs])
+    g_solimp = np.array([g.solimp for g in geom_specs])
+    g_condim = np.array([g.condim for g in geom_specs], dtype=np.int32)
+
+    # collision proxies (mesh -> fitted primitive)
+    col_type = g_type.copy()
+    col_size = g_size.copy()
+    col_pos = np.zeros((ngeom, 3))
+    col_quat = np.tile(np.array([1.0, 0, 0, 0]), (ngeom, 1))
+    kind_enum = {"box": GEOM_BOX, "capsule": GEOM_CAPSULE}
+    for gi, g in enumerate(geom_specs):
+        if g.type == GEOM_MESH:
+            md = meshes[g.mesh]
+            col_type[gi] = kind_enum[md.fit_kind]
+            col_size[gi] = md.fit_size
+            col_pos[gi] = md.fit_pos
+            col_quat[gi] = md.fit_quat
+        elif g.type == GEOM_CYLINDER:
+            # narrowphase treats cylinders as capsules (documented deviation;
+            # the reference pile's cylinders are squat, radius-dominated)
+            pass
+
+    # ---- body inertials
+    body_mass = np.zeros(nbody)
+    body_inertia = np.zeros((nbody, 3))
+    body_ipos = np.zeros((nbody, 3))
+    body_iquat = np.tile(np.array([1.0, 0, 0, 0]), (nbody, 1))
+    for bid, b in enumerate(bodies):
+        if bid == 0:
+            continue
+        m, com, diag, q = _body_inertial(b, meshes, spec.inertiafromgeom)
+        body_mass[bid] = m
+        body_ipos[bid] = com
+        body_inertia[bid] = diag
+        body_iquat[bid] = q
+
+    # ---- actuators
+    joint_names = tuple(j.name for j in jnt_specs)
+    act_jnt = np.array([joint_names.index(a.joint) for a in spec.actuators], dtype=np.int32)
+    act_dofadr = jnt_dofadr[act_jnt] if len(act_jnt) else np.zeros(0, np.int32)
+    nu = len(spec.actuators)
+    act_gear = np.array([a.gear for a in spec.actuators])
+    act_ctrlrange = np.array([a.ctrlrange for a in spec.actuators]) if nu else np.zeros((0, 2))
+
+    # ---- equalities
+    neq = len(spec.equalities)
+    eq_j1 = np.array([joint_names.index(e.joint1) for e in spec.equalities], dtype=np.int32)
+    eq_j2 = np.array([joint_names.index(e.joint2) for e in spec.equalities], dtype=np.int32)
+    eq_poly = np.array([e.polycoef for e in spec.equalities]) if neq else np.zeros((0, 5))
+    eq_solref = np.array([e.solref for e in spec.equalities]) if neq else np.zeros((0, 2))
+    eq_solimp = np.array([e.solimp for e in spec.equalities]) if neq else np.zeros((0, 3))
+
+    # ---- joint limits (scalar joints only; ball/free unlimited in our scenes)
+    limit_dof, limit_range = [], []
+    limit_solref, limit_solimp = [], []
+    jnt_limited = np.zeros(njnt, dtype=bool)
+    for i, j in enumerate(jnt_specs):
+        if j.limited and j.type in (JNT_HINGE, JNT_SLIDE):
+            jnt_limited[i] = True
+            limit_dof.append(jnt_dofadr[i])
+            limit_range.append(j.range)
+            limit_solref.append([0.02, 1.0])
+            limit_solimp.append([0.9, 0.95, 0.001])
+    nlimit = len(limit_dof)
+    limit_dof = np.array(limit_dof, dtype=np.int32) if nlimit else np.zeros(0, np.int32)
+    limit_qadr = jnt_qposadr[dof_jnt[limit_dof]] if nlimit else np.zeros(0, np.int32)
+
+    # ---- static contact candidate pairs
+    # weld groups (MuJoCo contact filtering): a joint-less body is welded to its
+    # parent; pairs within a weld, and weld-parent/child pairs (unless the
+    # parent weld is the world), are excluded.
+    weldid = np.zeros(nbody, dtype=np.int32)
+    for bid in range(1, nbody):
+        weldid[bid] = bid if body_jntnum[bid] > 0 else weldid[parent[bid]]
+    excl = set()
+    for b1, b2 in spec.excludes:
+        i1, i2 = body_names.index(b1), body_names.index(b2)
+        excl.add((min(i1, i2), max(i1, i2)))
+    pair1, pair2 = [], []
+    for gi in range(ngeom):
+        for gj in range(gi + 1, ngeom):
+            b1, b2 = int(geom_body[gi]), int(geom_body[gj])
+            w1, w2 = int(weldid[b1]), int(weldid[b2])
+            if w1 == w2:
+                continue  # same body/weld (also covers two static bodies)
+            g1, g2 = geom_specs[gi], geom_specs[gj]
+            if not ((g1.contype & g2.conaffinity) or (g2.contype & g1.conaffinity)):
+                continue
+            if (min(b1, b2), max(b1, b2)) in excl:
+                continue
+            pw1 = int(weldid[parent[w1]]) if w1 > 0 else -1
+            pw2 = int(weldid[parent[w2]]) if w2 > 0 else -1
+            if (pw1 == w2 and w2 != 0) or (pw2 == w1 and w1 != 0):
+                continue  # weld-parent/child filter
+            # planes cannot collide with planes
+            if col_type[gi] == GEOM_PLANE and col_type[gj] == GEOM_PLANE:
+                continue
+            # put plane/lower-type first for canonical narrowphase dispatch
+            if col_type[gi] <= col_type[gj]:
+                pair1.append(gi); pair2.append(gj)
+            else:
+                pair1.append(gj); pair2.append(gi)
+    pair_geom1 = np.array(pair1, dtype=np.int32)
+    pair_geom2 = np.array(pair2, dtype=np.int32)
+
+    # ---- cameras (world-frame fixed cameras; targetbody treated as fixed)
+    cams = list(spec.worldbody.cameras)
+    ncam = len(cams)
+    cam_pos = np.array([c.pos for c in cams]) if ncam else np.zeros((0, 3))
+    cam_quat = np.array([c.quat for c in cams]) if ncam else np.zeros((0, 4))
+    cam_fovy = np.array([c.fovy for c in cams]) if ncam else np.zeros(0)
+
+    # ---- model statistics (MuJoCo mjStatistic.extent approximation:
+    # bounding box of geoms at qpos0, used only for depth znear/zfar scaling)
+    centers, radii = [], []
+    for gi in range(ngeom):
+        bid = geom_body[gi]
+        w = xpos0[bid] + _quat_rot(xquat0[bid], g_pos[gi])
+        centers.append(w)
+        radii.append(float(np.max(np.abs(g_size[gi]))) if g_type[gi] != GEOM_PLANE else 0.0)
+    centers = np.array(centers)
+    lo = (centers - np.array(radii)[:, None]).min(axis=0)
+    hi = (centers + np.array(radii)[:, None]).max(axis=0)
+    extent = float(np.max(hi - lo))
+
+    topo = Topology(
+        nq=nq, nv=nv, nu=nu, nbody=nbody, njnt=njnt, ngeom=ngeom, ncam=ncam,
+        neq=neq, nlimit=nlimit, ntree=ntree, mtdof=mtdof,
+        maxjnt_per_body=max(body_jntnum) if body_jntnum else 0,
+        timestep=spec.option.timestep,
+        gravity=tuple(spec.option.gravity),
+        iterations=spec.option.iterations,
+        tolerance=spec.option.tolerance,
+        impratio=spec.option.impratio,
+        integrator=spec.option.integrator,
+        cone=spec.option.cone,
+        znear=spec.znear, zfar=spec.zfar, extent=extent,
+        body_parent=np.array(parent, dtype=np.int32),
+        body_jntadr=np.array(body_jntadr, dtype=np.int32),
+        body_jntnum=np.array(body_jntnum, dtype=np.int32),
+        body_levels=tuple(levels),
+        jnt_type=jnt_type, jnt_body=np.array(jnt_body, dtype=np.int32),
+        jnt_qposadr=jnt_qposadr, jnt_dofadr=jnt_dofadr, jnt_limited=jnt_limited,
+        dof_jnt=dof_jnt, dof_body=dof_body, dof_tree=dof_tree,
+        dof_treeidx=dof_treeidx, dof_ancestors=dof_ancestors,
+        body_tree=body_tree, tree_rootbody=np.array(tree_root, dtype=np.int32),
+        geom_body=geom_body,
+        act_dofadr=act_dofadr, act_jnt=act_jnt,
+        eq_j1_dof=jnt_dofadr[eq_j1] if neq else np.zeros(0, np.int32),
+        eq_j2_dof=jnt_dofadr[eq_j2] if neq else np.zeros(0, np.int32),
+        eq_j1_qadr=jnt_qposadr[eq_j1] if neq else np.zeros(0, np.int32),
+        eq_j2_qadr=jnt_qposadr[eq_j2] if neq else np.zeros(0, np.int32),
+        limit_dof=limit_dof, limit_qadr=limit_qadr,
+        pair_geom1=pair_geom1, pair_geom2=pair_geom2,
+        body_names=body_names, joint_names=joint_names,
+        geom_names=tuple(g.name for g in geom_specs),
+        cam_names=tuple(c.name for c in cams),
+        act_names=tuple(a.name for a in spec.actuators),
+    )
+
+    jp = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
+    model = Model(
+        topo=topo,
+        qpos0=jp(qpos0),
+        body_pos=jp([b.pos for b in bodies]),
+        body_quat=jp([b.quat for b in bodies]),
+        body_mass=jp(body_mass),
+        body_inertia=jp(body_inertia),
+        body_ipos=jp(body_ipos),
+        body_iquat=jp(body_iquat),
+        jnt_pos=jp([j.pos for j in jnt_specs]) if njnt else jp(np.zeros((0, 3))),
+        jnt_axis=jp([j.axis for j in jnt_specs]) if njnt else jp(np.zeros((0, 3))),
+        jnt_range=jp([j.range for j in jnt_specs]) if njnt else jp(np.zeros((0, 2))),
+        jnt_ref=jp([j.ref for j in jnt_specs]) if njnt else jp(np.zeros(0)),
+        dof_damping=jp(dof_damping),
+        dof_armature=jp(dof_armature),
+        geom_pos=jp(g_pos), geom_quat=jp(g_quat), geom_size=jp(g_size),
+        geom_rgba=jp(g_rgba), geom_friction=jp(g_fric), geom_margin=jp(g_margin),
+        geom_solref=jp(g_solref), geom_solimp=jp(g_solimp),
+        geom_condim=jnp.asarray(g_condim),
+        col_type=jnp.asarray(col_type), col_size=jp(col_size),
+        col_pos=jp(col_pos), col_quat=jp(col_quat),
+        act_gear=jp(act_gear), act_ctrlrange=jp(act_ctrlrange),
+        eq_poly=jp(eq_poly), eq_solref=jp(eq_solref), eq_solimp=jp(eq_solimp),
+        limit_range=jp(limit_range) if nlimit else jp(np.zeros((0, 2))),
+        limit_solref=jp(limit_solref) if nlimit else jp(np.zeros((0, 2))),
+        limit_solimp=jp(limit_solimp) if nlimit else jp(np.zeros((0, 3))),
+        cam_pos=jp(cam_pos), cam_quat=jp(cam_quat), cam_fovy=jp(cam_fovy),
+    )
+    # stash host-side extras for renderer/diagnostics (not pytree leaves)
+    topo.xpos0 = xpos0
+    topo.xquat0 = xquat0
+    topo.meshes = meshes
+    return model
+
+
+def load_model(path: str, dtype=np.float32) -> Model:
+    """Parse + compile an MJCF file into a device Model."""
+    return compile_spec(mjcf.parse_mjcf(path), dtype=dtype)

@@ -1,0 +1,34 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+The driver validates multi-chip sharding the same way
+(xla_force_host_platform_device_count); real-TPU benchmarking happens in
+bench.py, not the test suite.
+
+NOTE: the axon TPU plugin overrides the JAX_PLATFORMS env var, so the
+platform must be forced through jax.config before any computation.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+import pytest
+
+jax.config.update("jax_platforms", "cpu")
+
+REF = "/root/reference/UR5+gripper"
+
+
+def ref_scene(name: str) -> str:
+    return os.path.join(REF, name)
+
+
+@pytest.fixture(scope="session")
+def x64():
+    """Enable f64 for tight numeric parity tests."""
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
