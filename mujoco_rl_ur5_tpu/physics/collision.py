@@ -1,0 +1,248 @@
+"""Vectorized analytic narrowphase for the scene's collision primitives.
+
+TPU-native replacement for MuJoCo's collision pipeline (the reference's
+contact stream comes from `sim.step()` inside MuJoCo's C engine). All
+candidate geom pairs are enumerated at compile time (Model.topo.pair_geom1/2,
+grouped by type pair); at runtime each group runs one vmapped narrowphase
+function producing a *fixed* number of candidate contact points per pair.
+Active contacts are then selected with a global top-k by penetration depth
+(physics/constraints.py), which bounds solver memory for 4096-wide batches —
+the static equivalent of MuJoCo's nconmax=1500 cap
+(UR5gripper_2_finger_many_objects.xml:25).
+
+Conventions: contact normal points from geom1 INTO geom2 (MuJoCo convention);
+``dist`` is the signed surface separation (negative = penetrating). Points
+with dist = BIG are inactive padding.
+
+Supported type pairs (after mesh->primitive proxying at compile time):
+plane-{sphere,capsule,box}, sphere-{sphere,capsule,box}, capsule-{capsule,box},
+box-box. Cylinders collide as capsules (documented deviation: the reference
+pile's cylinders are squat and rest on their sides). Box-box uses
+corner-vs-box sampling both ways (8 points) — no edge-edge SAT yet.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_rl_ur5_tpu.ops.spatial import quat_rotate, quat_rotate_inv, quat_to_mat
+
+BIG = 1e10
+
+
+def _pack(pos, normal, dist):
+    return pos, normal, dist
+
+
+# ---------------------------------------------------------------------------
+# plane-X  (plane frame: z-axis is the outward normal)
+# ---------------------------------------------------------------------------
+
+
+def plane_sphere(p1, q1, s1, p2, q2, s2):
+    n = quat_rotate(q1, jnp.array([0.0, 0, 1.0], p1.dtype))
+    d = jnp.dot(n, p2 - p1)
+    dist = d - s2[0]
+    pos = p2 - n * (s2[0] + 0.5 * dist)
+    return pos[None], n[None], dist[None]
+
+
+def plane_capsule(p1, q1, s1, p2, q2, s2):
+    n = quat_rotate(q1, jnp.array([0.0, 0, 1.0], p1.dtype))
+    axis = quat_rotate(q2, jnp.array([0.0, 0, 1.0], p1.dtype))
+    r, hl = s2[0], s2[1]
+    ends = jnp.stack([p2 + axis * hl, p2 - axis * hl])
+    d = ends @ n - jnp.dot(n, p1)
+    dist = d - r
+    pos = ends - n[None] * (r + 0.5 * dist)[:, None]
+    return pos, jnp.broadcast_to(n, (2, 3)), dist
+
+
+def plane_box(p1, q1, s1, p2, q2, s2):
+    n = quat_rotate(q1, jnp.array([0.0, 0, 1.0], p1.dtype))
+    R = quat_to_mat(q2)
+    signs = jnp.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        p1.dtype,
+    )
+    corners = p2 + (signs * s2) @ R.T  # (8,3)
+    d = corners @ n - jnp.dot(n, p1)
+    # keep 4 lowest corners (a resting box has exactly 4)
+    neg_d, idx = jax.lax.top_k(-d, 4)
+    dist = -neg_d
+    pos = corners[idx] - 0.5 * dist[:, None] * n[None]
+    return pos, jnp.broadcast_to(n, (4, 3)), dist
+
+
+# ---------------------------------------------------------------------------
+# sphere-X
+# ---------------------------------------------------------------------------
+
+
+def sphere_sphere(p1, q1, s1, p2, q2, s2):
+    d = p2 - p1
+    L = jnp.linalg.norm(d)
+    n = d / jnp.maximum(L, 1e-12)
+    dist = L - (s1[0] + s2[0])
+    pos = p1 + n * (s1[0] + 0.5 * dist)
+    return pos[None], n[None], dist[None]
+
+
+def _point_capsule_axis(p, pc, qc, hl):
+    axis = quat_rotate(qc, jnp.array([0.0, 0, 1.0], p.dtype))
+    t = jnp.clip(jnp.dot(p - pc, axis), -hl, hl)
+    return pc + axis * t
+
+
+def sphere_capsule(p1, q1, s1, p2, q2, s2):
+    c = _point_capsule_axis(p1, p2, q2, s2[1])
+    d = c - p1
+    L = jnp.linalg.norm(d)
+    n = d / jnp.maximum(L, 1e-12)
+    dist = L - (s1[0] + s2[0])
+    pos = p1 + n * (s1[0] + 0.5 * dist)
+    return pos[None], n[None], dist[None]
+
+
+def _sphere_box_core(center, r, pb, qb, sb):
+    """Signed distance sphere center vs box; returns (pos, n, dist) world."""
+    c_l = quat_rotate_inv(qb, center - pb)
+    clamped = jnp.clip(c_l, -sb, sb)
+    delta = c_l - clamped
+    d_out = jnp.linalg.norm(delta)
+    outside = d_out > 1e-9
+    # outside: closest point on box surface
+    n_out = delta / jnp.maximum(d_out, 1e-12)
+    # inside: push out through nearest face
+    face_d = sb - jnp.abs(c_l)  # distance to each face (positive inside)
+    k = jnp.argmin(face_d)
+    sgn = jnp.sign(c_l[k]) + (c_l[k] == 0.0)
+    n_in = jnp.zeros(3, center.dtype).at[k].set(sgn)
+    d_in = -face_d[k]
+    n_l = jnp.where(outside, n_out, n_in)
+    dist_c = jnp.where(outside, d_out, d_in)
+    surf_l = jnp.where(outside, clamped, c_l - n_in * d_in)
+    n_w = quat_rotate(qb, n_l)
+    dist = dist_c - r
+    pos = quat_rotate(qb, surf_l) + pb + 0.5 * dist * n_w
+    return pos, n_w, dist
+
+
+def sphere_box(p1, q1, s1, p2, q2, s2):
+    pos, n_w, dist = _sphere_box_core(p1, s1[0], p2, q2, s2)
+    # normal from sphere(1) into box(2): box->sphere normal negated
+    return pos[None], (-n_w)[None], dist[None]
+
+
+# ---------------------------------------------------------------------------
+# capsule-X
+# ---------------------------------------------------------------------------
+
+
+def _segment_closest(pa, ua, ha, pb, ub, hb):
+    """Closest parameters (s, t) between segments pa+s*ua, pb+t*ub."""
+    r = pa - pb
+    a = jnp.dot(ua, ua)
+    e = jnp.dot(ub, ub)
+    f = jnp.dot(ub, r)
+    c = jnp.dot(ua, r)
+    b = jnp.dot(ua, ub)
+    denom = a * e - b * b
+    s = jnp.where(jnp.abs(denom) > 1e-12, (b * f - c * e) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0), 0.0)
+    s = jnp.clip(s, -ha, ha)
+    t = jnp.clip((b * s + f) / jnp.maximum(e, 1e-12), -hb, hb)
+    s = jnp.clip((b * t - c) / jnp.maximum(a, 1e-12), -ha, ha)
+    return s, t
+
+
+def capsule_capsule(p1, q1, s1, p2, q2, s2):
+    u1 = quat_rotate(q1, jnp.array([0.0, 0, 1.0], p1.dtype))
+    u2 = quat_rotate(q2, jnp.array([0.0, 0, 1.0], p1.dtype))
+    s, t = _segment_closest(p1, u1, s1[1], p2, u2, s2[1])
+    a = p1 + u1 * s
+    b = p2 + u2 * t
+    d = b - a
+    L = jnp.linalg.norm(d)
+    n = d / jnp.maximum(L, 1e-12)
+    dist = L - (s1[0] + s2[0])
+    pos = a + n * (s1[0] + 0.5 * dist)
+    return pos[None], n[None], dist[None]
+
+
+def capsule_box(p1, q1, s1, p2, q2, s2):
+    """5 candidate points along the capsule axis (endpoints, midpoints, and
+    the segment point nearest the box center), each tested as a sphere
+    against the box. Denser sampling keeps the deepest-point estimate within
+    ~2 mm of MuJoCo's exact capsule-box for the reference pile shapes."""
+    u = quat_rotate(q1, jnp.array([0.0, 0, 1.0], p1.dtype))
+    r, hl = s1[0], s1[1]
+    tmid = jnp.clip(jnp.dot(p2 - p1, u), -hl, hl)
+    cands = jnp.stack([
+        p1 + u * hl, p1 - u * hl,
+        p1 + u * (0.5 * (hl + tmid)), p1 + u * (0.5 * (-hl + tmid)),
+        p1 + u * tmid,
+    ])
+
+    def one(c):
+        pos, n_w, dist = _sphere_box_core(c, r, p2, q2, s2)
+        return pos, -n_w, dist
+
+    pos, n, dist = jax.vmap(one)(cands)
+    return pos, n, dist
+
+
+# ---------------------------------------------------------------------------
+# box-box (corner sampling, both directions)
+# ---------------------------------------------------------------------------
+
+
+def box_box(p1, q1, s1, p2, q2, s2):
+    signs = jnp.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        p1.dtype,
+    )
+    R1, R2 = quat_to_mat(q1), quat_to_mat(q2)
+    corners1 = p1 + (signs * s1) @ R1.T
+    corners2 = p2 + (signs * s2) @ R2.T
+
+    def corner_in_box(c, pb, qb, sb):
+        c_l = quat_rotate_inv(qb, c - pb)
+        face_d = sb - jnp.abs(c_l)               # >0 inside per axis
+        inside = jnp.all(face_d > 0)
+        k = jnp.argmin(face_d)
+        sgn = jnp.sign(c_l[k]) + (c_l[k] == 0.0)
+        n_l = jnp.zeros(3, c.dtype).at[k].set(sgn)
+        dist = jnp.where(inside, -face_d[k], BIG)
+        n_w = quat_rotate(qb, n_l)
+        pos = c - 0.5 * dist * n_w * jnp.where(inside, 1.0, 0.0)
+        return pos, n_w, dist
+
+    pos_a, n_a, d_a = jax.vmap(lambda c: corner_in_box(c, p2, q2, s2))(corners1)
+    pos_b, n_b, d_b = jax.vmap(lambda c: corner_in_box(c, p1, q1, s1))(corners2)
+    # directions: corner of 1 inside 2 -> outward normal of 2 points from 2 to
+    # 1, so normal(1->2) = -n; corner of 2 inside 1 -> normal(1->2) = +n
+    neg_a, ia = jax.lax.top_k(-d_a, 4)
+    neg_b, ib = jax.lax.top_k(-d_b, 4)
+    pos = jnp.concatenate([pos_a[ia], pos_b[ib]])
+    nrm = jnp.concatenate([-n_a[ia], n_b[ib]])
+    dist = jnp.concatenate([-neg_a, -neg_b])
+    return pos, nrm, dist
+
+
+# dispatch table: (type1, type2) -> (fn, n_points); types use mjcf enum values
+from mujoco_rl_ur5_tpu.scene.mjcf import (  # noqa: E402
+    GEOM_BOX, GEOM_CAPSULE, GEOM_PLANE, GEOM_SPHERE,
+)
+
+NARROWPHASE = {
+    (GEOM_PLANE, GEOM_SPHERE): (plane_sphere, 1),
+    (GEOM_PLANE, GEOM_CAPSULE): (plane_capsule, 2),
+    (GEOM_PLANE, GEOM_BOX): (plane_box, 4),
+    (GEOM_SPHERE, GEOM_SPHERE): (sphere_sphere, 1),
+    (GEOM_SPHERE, GEOM_CAPSULE): (sphere_capsule, 1),
+    (GEOM_SPHERE, GEOM_BOX): (sphere_box, 1),
+    (GEOM_CAPSULE, GEOM_CAPSULE): (capsule_capsule, 1),
+    (GEOM_CAPSULE, GEOM_BOX): (capsule_box, 5),
+    (GEOM_BOX, GEOM_BOX): (box_box, 8),
+}

@@ -230,12 +230,13 @@ def integrate_qpos(model: Model, qpos: jax.Array, qvel: jax.Array, h) -> jax.Arr
 # ---------------------------------------------------------------------------
 
 
-def forward(model: Model, state: State, constraint_fn=None):
-    """Smooth forward dynamics; returns (qacc-equivalent dv/h pieces, kin).
+def forward(model: Model, state: State, ncon: int = 0, iterations: int = 30):
+    """Forward dynamics incl. constraints; returns (qacc, kin, contacts).
 
-    ``constraint_fn(model, state, kin, mhb_chol, qfrc_smooth)`` may return an
-    additional generalized force (the contact/equality/limit impulses); hooked
-    in by physics/constraints.py.
+    ``ncon`` is the static active-contact cap (0 disables contacts entirely —
+    equality/limit rows are then also skipped, giving pure smooth dynamics).
+    The constraint solve runs against M (MuJoCo convention); integration uses
+    M + h*diag(damping).
     """
     t = model.topo
     h = t.timestep
@@ -251,8 +252,7 @@ def forward(model: Model, state: State, constraint_fn=None):
         .add(h * model.dof_damping)
         .reshape(t.ntree, mt, mt)
     )
-    mhb = mblocks + dflat
-    chol = factor_blocks(mhb)
+    chol_mhb = factor_blocks(mblocks + dflat)
     bias = rne_bias(model, kin, cinert, state.qvel)
     qfrc_smooth = (
         actuator_force(model, state.ctrl)
@@ -261,16 +261,23 @@ def forward(model: Model, state: State, constraint_fn=None):
         - model.dof_damping * state.qvel
     )
     qfrc_constraint = 0.0
-    if constraint_fn is not None:
-        qfrc_constraint = constraint_fn(model, state, kin, mblocks, chol, qfrc_smooth)
-    qacc = solve_blocks(model, chol, qfrc_smooth + qfrc_constraint)
-    return qacc, kin
+    contacts = None
+    if ncon > 0:
+        from mujoco_rl_ur5_tpu.physics.constraints import constraint_forces
+
+        chol_m = factor_blocks(mblocks)
+        qacc_smooth = solve_blocks(model, chol_m, qfrc_smooth)
+        qfrc_constraint, contacts = constraint_forces(
+            model, state, kin, chol_m, qacc_smooth, ncon, iterations
+        )
+    qacc = solve_blocks(model, chol_mhb, qfrc_smooth + qfrc_constraint)
+    return qacc, kin, contacts
 
 
-def step(model: Model, state: State, constraint_fn=None) -> State:
+def step(model: Model, state: State, ncon: int = 0, iterations: int = 30) -> State:
     """One semi-implicit Euler step (single scenario; vmap for batches)."""
     h = model.topo.timestep
-    qacc, _ = forward(model, state, constraint_fn)
+    qacc, _, _ = forward(model, state, ncon=ncon, iterations=iterations)
     qvel = state.qvel + h * qacc
     qpos = integrate_qpos(model, state.qpos, qvel, h)
     return state.replace(qpos=qpos, qvel=qvel, time=state.time + h)

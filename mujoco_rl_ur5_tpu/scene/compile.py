@@ -313,8 +313,9 @@ def compile_spec(spec: SceneSpec, dtype=np.float32) -> Model:
             col_quat[gi] = md.fit_quat
         elif g.type == GEOM_CYLINDER:
             # narrowphase treats cylinders as capsules (documented deviation;
-            # the reference pile's cylinders are squat, radius-dominated)
-            pass
+            # the reference pile's cylinders are squat, radius-dominated, and
+            # mostly rest on their curved sides where the shapes agree)
+            col_type[gi] = GEOM_CAPSULE
 
     # ---- body inertials
     body_mass = np.zeros(nbody)
@@ -399,6 +400,41 @@ def compile_spec(spec: SceneSpec, dtype=np.float32) -> Model:
     pair_geom1 = np.array(pair1, dtype=np.int32)
     pair_geom2 = np.array(pair2, dtype=np.int32)
 
+    # group pairs by collision-type pair for static narrowphase dispatch
+    from mujoco_rl_ur5_tpu.physics.collision import NARROWPHASE
+
+    groups = {}
+    for pidx in range(len(pair_geom1)):
+        key = (int(col_type[pair_geom1[pidx]]), int(col_type[pair_geom2[pidx]]))
+        if key not in NARROWPHASE:
+            continue  # unsupported pair type (none in the reference scenes)
+        groups.setdefault(key, []).append(pidx)
+    pair_groups = tuple(
+        (k[0], k[1], np.array(v, dtype=np.int32)) for k, v in sorted(groups.items())
+    )
+    ncand = sum(NARROWPHASE[(a, b)][1] * len(v) for a, b, v in pair_groups)
+
+    # pre-mixed pair parameters (equal solmix -> average; friction: max;
+    # margin: max; condim: max — MuJoCo mj_collideGeoms defaults)
+    npair = len(pair_geom1)
+    p1g, p2g = pair_geom1, pair_geom2
+    pair_friction = np.maximum(g_fric[p1g], g_fric[p2g]) if npair else np.zeros((0, 3))
+    pair_solref = 0.5 * (g_solref[p1g] + g_solref[p2g]) if npair else np.zeros((0, 2))
+    pair_solimp = 0.5 * (g_solimp[p1g] + g_solimp[p2g]) if npair else np.zeros((0, 3))
+    pair_margin = np.maximum(g_margin[p1g], g_margin[p2g]) if npair else np.zeros(0)
+    pair_condim = np.maximum(g_condim[p1g], g_condim[p2g]).astype(np.int32) if npair else np.zeros(0, np.int32)
+
+    # per-body ancestor tree-slot masks (which tree dofs move each body)
+    body_ancestor_slots = np.zeros((nbody, mtdof), dtype=bool)
+    for bid in range(nbody):
+        if body_tree[bid] < 0:
+            continue
+        cur = bid
+        while cur >= 0 and body_tree[cur] == body_tree[bid]:
+            for d in body_joint_dofs[cur]:
+                body_ancestor_slots[bid, dof_treeidx[d]] = True
+            cur = parent[cur]
+
     # ---- cameras (world-frame fixed cameras; targetbody treated as fixed)
     cams = list(spec.worldbody.cameras)
     ncam = len(cams)
@@ -448,6 +484,8 @@ def compile_spec(spec: SceneSpec, dtype=np.float32) -> Model:
         eq_j2_qadr=jnt_qposadr[eq_j2] if neq else np.zeros(0, np.int32),
         limit_dof=limit_dof, limit_qadr=limit_qadr,
         pair_geom1=pair_geom1, pair_geom2=pair_geom2,
+        pair_groups=pair_groups, pair_condim=pair_condim, ncand=ncand,
+        body_ancestor_slots=body_ancestor_slots,
         body_names=body_names, joint_names=joint_names,
         geom_names=tuple(g.name for g in geom_specs),
         cam_names=tuple(c.name for c in cams),
@@ -481,13 +519,86 @@ def compile_spec(spec: SceneSpec, dtype=np.float32) -> Model:
         limit_range=jp(limit_range) if nlimit else jp(np.zeros((0, 2))),
         limit_solref=jp(limit_solref) if nlimit else jp(np.zeros((0, 2))),
         limit_solimp=jp(limit_solimp) if nlimit else jp(np.zeros((0, 3))),
+        pair_friction=jp(pair_friction), pair_solref=jp(pair_solref),
+        pair_solimp=jp(pair_solimp), pair_margin=jp(pair_margin),
         cam_pos=jp(cam_pos), cam_quat=jp(cam_quat), cam_fovy=jp(cam_fovy),
     )
     # stash host-side extras for renderer/diagnostics (not pytree leaves)
     topo.xpos0 = xpos0
     topo.xquat0 = xquat0
     topo.meshes = meshes
+    model = _prune_rest_penetrating_pairs(model)
     return model
+
+
+def _prune_rest_penetrating_pairs(model: Model) -> Model:
+    """Drop candidate pairs between non-free-floating bodies whose *collision
+    proxies* already interpenetrate at qpos0.
+
+    Mesh geoms collide through fitted primitives that strictly contain the
+    mesh; a handful of arm/pedestal proxy pairs therefore overlap permanently
+    even though the true meshes never touch (MuJoCo reports zero arm contacts
+    at the home pose). Such pairs would inject constant phantom friction into
+    the arm joints. Pairs involving a free-jointed object are always kept
+    (objects may legitimately spawn overlapping, GraspingEnv.py:420-430).
+    """
+    import jax.numpy as jnp
+
+    from mujoco_rl_ur5_tpu.physics.constraints import collide
+    from mujoco_rl_ur5_tpu.physics.kinematics import fk
+    from mujoco_rl_ur5_tpu.scene.mjcf import JNT_FREE
+
+    t = model.topo
+    if len(t.pair_geom1) == 0:
+        return model
+    kin0 = fk(model, model.qpos0)
+    _, _, dist, cand_pair = collide(model, kin0)
+    dist = np.asarray(dist)
+
+    tree_has_free = np.zeros(t.ntree + 1, dtype=bool)
+    for j in range(t.njnt):
+        if t.jnt_type[j] == JNT_FREE:
+            tr = t.body_tree[t.jnt_body[j]]
+            if tr >= 0:
+                tree_has_free[tr] = True
+    bt = np.where(t.body_tree >= 0, t.body_tree, t.ntree)
+    g_free = tree_has_free[bt[t.geom_body]]
+
+    bad_pair = np.zeros(len(t.pair_geom1), dtype=bool)
+    pm = np.asarray(model.pair_margin)
+    for ci in range(len(cand_pair)):
+        p = int(cand_pair[ci])
+        g1, g2 = int(t.pair_geom1[p]), int(t.pair_geom2[p])
+        if g_free[g1] or g_free[g2]:
+            continue
+        if dist[ci] < 0.5 * float(pm[p]):
+            bad_pair[p] = True
+    if not bad_pair.any():
+        return model
+    keep = ~bad_pair
+    kidx = np.nonzero(keep)[0]
+    remap = np.full(len(keep), -1, dtype=np.int64)
+    remap[kidx] = np.arange(len(kidx))
+    t.pair_geom1 = t.pair_geom1[kidx]
+    t.pair_geom2 = t.pair_geom2[kidx]
+    t.pair_condim = t.pair_condim[kidx]
+    new_groups = []
+    from mujoco_rl_ur5_tpu.physics.collision import NARROWPHASE
+
+    for (a, b, idx) in t.pair_groups:
+        nidx = remap[idx]
+        nidx = nidx[nidx >= 0].astype(np.int32)
+        if len(nidx):
+            new_groups.append((a, b, nidx))
+    t.pair_groups = tuple(new_groups)
+    t.ncand = sum(NARROWPHASE[(a, b)][1] * len(idx) for a, b, idx in t.pair_groups)
+    sel = jnp.asarray(kidx)
+    return model.replace(
+        pair_friction=model.pair_friction[sel],
+        pair_solref=model.pair_solref[sel],
+        pair_solimp=model.pair_solimp[sel],
+        pair_margin=model.pair_margin[sel],
+    )
 
 
 def load_model(path: str, dtype=np.float32) -> Model:

@@ -88,6 +88,10 @@ class Topology:
     # contact candidate pairs (static broadphase over contype/conaffinity/excludes)
     pair_geom1: np.ndarray = None
     pair_geom2: np.ndarray = None
+    pair_groups: tuple = ()           # ((type1, type2, pair_idx_array), ...)
+    pair_condim: np.ndarray = None    # (npair,) mixed condim
+    ncand: int = 0                    # total candidate contact points
+    body_ancestor_slots: np.ndarray = None  # (nbody, mtdof) bool: tree slots moving this body
 
     # names
     body_names: tuple = ()
@@ -157,6 +161,11 @@ class Model:
     limit_range: jax.Array = None    # (nlimit, 2)
     limit_solref: jax.Array = None   # (nlimit, 2)
     limit_solimp: jax.Array = None   # (nlimit, 3)
+    # pre-mixed contact-pair parameters (MuJoCo mj_collideGeoms mixing rules)
+    pair_friction: jax.Array = None  # (npair, 3) [tangential, torsional, rolling]
+    pair_solref: jax.Array = None    # (npair, 2)
+    pair_solimp: jax.Array = None    # (npair, 3)
+    pair_margin: jax.Array = None    # (npair,)
     # cameras
     cam_pos: jax.Array = None        # (ncam, 3)
     cam_quat: jax.Array = None       # (ncam, 4)
