@@ -230,9 +230,119 @@ def box_box(p1, q1, s1, p2, q2, s2):
     return pos, nrm, dist
 
 
+# ---------------------------------------------------------------------------
+# convex-hull narrowphase (mesh geoms)
+#
+# Mesh geoms collide through their convex hulls — the same representation
+# MuJoCo's own mesh collider uses — stored as padded vertex sets + halfspace
+# tables (Model.hull_*). Contacts are vertex-vs-face both ways: the signed
+# distance of a point to a convex hull is max_f(n_f.x - d_f) (exact inside,
+# a lower bound outside, so separation is never misreported as contact).
+# Edge-edge crossings are not generated (documented deviation; vertex-face
+# contacts dominate for the near-box gripper finger hulls and pile objects).
+# All ops are dense (V x F) dot products — pure VPU work that vmaps over
+# thousands of pairs and scenarios.
+# ---------------------------------------------------------------------------
+
+
+def _hull_world(p, q, verts, fnorm, fdist):
+    """Transform mesh-frame hull to world: verts (V,3), faces {n.x <= d}."""
+    R = quat_to_mat(q)
+    vw = p + verts @ R.T
+    nw = fnorm @ R.T
+    dw = fdist + nw @ p
+    return vw, nw, dw
+
+
+def _verts_vs_faces(verts_w, vmask, nw, dw, k, pad_big):
+    """Deepest-k vertices of a point cloud w.r.t. a halfspace hull.
+
+    Padding faces carry d = +BIG so they never win the max; padded vertices
+    are pushed to +BIG distance so they never enter the top-k.
+    Returns (points (k,3), outward face normals (k,3), dists (k,)).
+    """
+    scores = verts_w @ nw.T - dw[None, :]            # (V, F)
+    sdf = jnp.max(scores, axis=1)
+    fidx = jnp.argmax(scores, axis=1)
+    sdf = jnp.where(vmask > 0.5, sdf, pad_big)
+    neg, idx = jax.lax.top_k(-sdf, k)
+    dist = -neg
+    v = verts_w[idx]
+    nf = nw[fidx[idx]]
+    pos = v - 0.5 * dist[:, None] * nf
+    return pos, nf, dist
+
+
+def hull_hull(p1, q1, v1, m1, n1, d1, p2, q2, v2, m2, n2, d2):
+    """Generic convex-convex: 4 deepest verts each way (8 points)."""
+    vw1, nw1, dw1 = _hull_world(p1, q1, v1, n1, d1)
+    vw2, nw2, dw2 = _hull_world(p2, q2, v2, n2, d2)
+    pos_a, nf_a, dist_a = _verts_vs_faces(vw1, m1, nw2, dw2, 4, BIG)
+    pos_b, nf_b, dist_b = _verts_vs_faces(vw2, m2, nw1, dw1, 4, BIG)
+    # normal convention (from geom1 into geom2): vertex of 1 on a face of 2
+    # -> -outward_n2; vertex of 2 on a face of 1 -> +outward_n1
+    pos = jnp.concatenate([pos_a, pos_b])
+    nrm = jnp.concatenate([-nf_a, nf_b])
+    dist = jnp.concatenate([dist_a, dist_b])
+    return pos, nrm, dist
+
+
+def plane_hull(p1, q1, s1, p2, q2, v2, m2, n2, d2):
+    n = quat_rotate(q1, jnp.array([0.0, 0, 1.0], p1.dtype))
+    R2 = quat_to_mat(q2)
+    vw = p2 + v2 @ R2.T
+    dvert = vw @ n - jnp.dot(n, p1)
+    dvert = jnp.where(m2 > 0.5, dvert, BIG)
+    neg, idx = jax.lax.top_k(-dvert, 4)
+    dist = -neg
+    pos = vw[idx] - 0.5 * dist[:, None] * n[None]
+    return pos, jnp.broadcast_to(n, (4, 3)), dist
+
+
+def _sphere_hull_point(c, r, nw, dw):
+    scores = c @ nw.T - dw
+    sdf = jnp.max(scores)
+    nf = nw[jnp.argmax(scores)]
+    dist = sdf - r
+    pos = c - nf * (r + 0.5 * dist)
+    return pos, -nf, dist
+
+
+def sphere_hull(p1, q1, s1, p2, q2, v2, m2, n2, d2):
+    _, nw, dw = _hull_world(p2, q2, v2, n2, d2)
+    pos, nrm, dist = _sphere_hull_point(p1, s1[0], nw, dw)
+    return pos[None], nrm[None], dist[None]
+
+
+def capsule_hull(p1, q1, s1, p2, q2, v2, m2, n2, d2):
+    """5 axis samples as spheres (endpoints, midpoints, center-nearest)."""
+    vw, nw, dw = _hull_world(p2, q2, v2, n2, d2)
+    center = jnp.sum(vw * (m2[:, None] > 0.5), axis=0) / jnp.maximum(
+        jnp.sum(m2 > 0.5), 1
+    )
+    u = quat_rotate(q1, jnp.array([0.0, 0, 1.0], p1.dtype))
+    r, hl = s1[0], s1[1]
+    tmid = jnp.clip(jnp.dot(center - p1, u), -hl, hl)
+    ts = jnp.stack([-hl, hl, tmid, 0.5 * (hl + tmid), 0.5 * (-hl + tmid)])
+    return jax.vmap(lambda t: _sphere_hull_point(p1 + u * t, r, nw, dw))(ts)
+
+
+def box_hull(p1, q1, s1, p2, q2, v2, m2, n2, d2):
+    """Box treated as an 8-vertex/6-face hull -> generic hull-hull."""
+    signs = jnp.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        p1.dtype,
+    )
+    bv = signs * s1
+    bn = jnp.concatenate([jnp.eye(3, dtype=p1.dtype), -jnp.eye(3, dtype=p1.dtype)])
+    bd = jnp.concatenate([s1, s1])
+    bm = jnp.ones(8, p1.dtype)
+    return hull_hull(p1, q1, bv, bm, bn, bd, p2, q2, v2, m2, n2, d2)
+
+
 # dispatch table: (type1, type2) -> (fn, n_points); types use mjcf enum values
 from mujoco_rl_ur5_tpu.scene.mjcf import (  # noqa: E402
-    GEOM_BOX, GEOM_CAPSULE, GEOM_PLANE, GEOM_SPHERE,
+    GEOM_BOX, GEOM_CAPSULE, GEOM_MESH, GEOM_PLANE, GEOM_SPHERE,
 )
 
 NARROWPHASE = {
@@ -246,3 +356,21 @@ NARROWPHASE = {
     (GEOM_CAPSULE, GEOM_BOX): (capsule_box, 5),
     (GEOM_BOX, GEOM_BOX): (box_box, 8),
 }
+
+# hull pairs: geom2 is the mesh (GEOM_MESH is the largest enum, so canonical
+# pair ordering always puts it second); signature gains the hull operand
+# (verts, vmask, fnorm, fdist) after (p2, q2)
+HULL_NARROWPHASE = {
+    (GEOM_PLANE, GEOM_MESH): (plane_hull, 4),
+    (GEOM_SPHERE, GEOM_MESH): (sphere_hull, 1),
+    (GEOM_CAPSULE, GEOM_MESH): (capsule_hull, 5),
+    (GEOM_BOX, GEOM_MESH): (box_hull, 8),
+    (GEOM_MESH, GEOM_MESH): (hull_hull, 8),
+}
+
+
+def pair_points(t1: int, t2: int) -> int:
+    """Candidate contact points generated per pair of collision types."""
+    if (t1, t2) in NARROWPHASE:
+        return NARROWPHASE[(t1, t2)][1]
+    return HULL_NARROWPHASE[(t1, t2)][1]

@@ -82,13 +82,31 @@ def collide(model: Model, kin: Kin):
 
     pos_l, n_l, dist_l, pairidx_l = [], [], [], []
     for (t1, t2, idx) in t.pair_groups:
-        fn, k = collision.NARROWPHASE[(t1, t2)]
         g1 = t.pair_geom1[idx]
         g2 = t.pair_geom2[idx]
-        p, n, d = jax.vmap(fn)(
-            cpos[g1], cquat[g1], model.col_size[g1],
-            cpos[g2], cquat[g2], model.col_size[g2],
-        )
+        if (t1, t2) in collision.NARROWPHASE:
+            fn, k = collision.NARROWPHASE[(t1, t2)]
+            p, n, d = jax.vmap(fn)(
+                cpos[g1], cquat[g1], model.col_size[g1],
+                cpos[g2], cquat[g2], model.col_size[g2],
+            )
+        else:
+            fn, k = collision.HULL_NARROWPHASE[(t1, t2)]
+            m2 = t.geom_meshid[g2]
+            h2 = (model.hull_verts[m2], model.hull_vmask[m2],
+                  model.hull_fnorm[m2], model.hull_fdist[m2])
+            if t1 == collision.GEOM_MESH:
+                m1 = t.geom_meshid[g1]
+                p, n, d = jax.vmap(fn)(
+                    cpos[g1], cquat[g1], model.hull_verts[m1],
+                    model.hull_vmask[m1], model.hull_fnorm[m1],
+                    model.hull_fdist[m1], cpos[g2], cquat[g2], *h2,
+                )
+            else:
+                p, n, d = jax.vmap(fn)(
+                    cpos[g1], cquat[g1], model.col_size[g1],
+                    cpos[g2], cquat[g2], *h2,
+                )
         pos_l.append(p.reshape(-1, 3))
         n_l.append(n.reshape(-1, 3))
         dist_l.append(d.reshape(-1))

@@ -298,24 +298,39 @@ def compile_spec(spec: SceneSpec, dtype=np.float32) -> Model:
     g_solimp = np.array([g.solimp for g in geom_specs])
     g_condim = np.array([g.condim for g in geom_specs], dtype=np.int32)
 
-    # collision proxies (mesh -> fitted primitive)
+    # collision shapes: meshes collide as convex hulls (like MuJoCo itself);
+    # cylinders as capsules (documented deviation; the reference pile's
+    # cylinders are squat, radius-dominated, and mostly rest on their curved
+    # sides where the shapes agree)
     col_type = g_type.copy()
     col_size = g_size.copy()
     col_pos = np.zeros((ngeom, 3))
     col_quat = np.tile(np.array([1.0, 0, 0, 0]), (ngeom, 1))
-    kind_enum = {"box": GEOM_BOX, "capsule": GEOM_CAPSULE}
+    mesh_order = sorted(used)
+    mesh_index = {n: i for i, n in enumerate(mesh_order)}
+    geom_meshid = np.full(ngeom, -1, dtype=np.int32)
     for gi, g in enumerate(geom_specs):
         if g.type == GEOM_MESH:
-            md = meshes[g.mesh]
-            col_type[gi] = kind_enum[md.fit_kind]
-            col_size[gi] = md.fit_size
-            col_pos[gi] = md.fit_pos
-            col_quat[gi] = md.fit_quat
+            geom_meshid[gi] = mesh_index[g.mesh]
         elif g.type == GEOM_CYLINDER:
-            # narrowphase treats cylinders as capsules (documented deviation;
-            # the reference pile's cylinders are squat, radius-dominated, and
-            # mostly rest on their curved sides where the shapes agree)
             col_type[gi] = GEOM_CAPSULE
+
+    # padded hull tables (vertex pad = repeat of v0 masked out; face pad gets
+    # offset +BIG so padded halfspaces never win the signed-distance max)
+    nmesh = len(mesh_order)
+    hull_maxv = max((len(meshes[n].hull_verts) for n in mesh_order), default=1)
+    hull_maxf = max((len(meshes[n].hull_fnorm) for n in mesh_order), default=1)
+    hull_verts = np.zeros((nmesh, hull_maxv, 3))
+    hull_vmask = np.zeros((nmesh, hull_maxv))
+    hull_fnorm = np.zeros((nmesh, hull_maxf, 3))
+    hull_fdist = np.full((nmesh, hull_maxf), 1e10)
+    for mi, n in enumerate(mesh_order):
+        md = meshes[n]
+        nv_, nf_ = len(md.hull_verts), len(md.hull_fnorm)
+        hull_verts[mi, :nv_] = md.hull_verts
+        hull_vmask[mi, :nv_] = 1.0
+        hull_fnorm[mi, :nf_] = md.hull_fnorm
+        hull_fdist[mi, :nf_] = md.hull_fdist
 
     # ---- body inertials
     body_mass = np.zeros(nbody)
@@ -401,18 +416,20 @@ def compile_spec(spec: SceneSpec, dtype=np.float32) -> Model:
     pair_geom2 = np.array(pair2, dtype=np.int32)
 
     # group pairs by collision-type pair for static narrowphase dispatch
-    from mujoco_rl_ur5_tpu.physics.collision import NARROWPHASE
+    from mujoco_rl_ur5_tpu.physics.collision import (
+        HULL_NARROWPHASE, NARROWPHASE, pair_points,
+    )
 
     groups = {}
     for pidx in range(len(pair_geom1)):
         key = (int(col_type[pair_geom1[pidx]]), int(col_type[pair_geom2[pidx]]))
-        if key not in NARROWPHASE:
+        if key not in NARROWPHASE and key not in HULL_NARROWPHASE:
             continue  # unsupported pair type (none in the reference scenes)
         groups.setdefault(key, []).append(pidx)
     pair_groups = tuple(
         (k[0], k[1], np.array(v, dtype=np.int32)) for k, v in sorted(groups.items())
     )
-    ncand = sum(NARROWPHASE[(a, b)][1] * len(v) for a, b, v in pair_groups)
+    ncand = sum(pair_points(a, b) * len(v) for a, b, v in pair_groups)
 
     # pre-mixed pair parameters (equal solmix -> average; friction: max;
     # margin: max; condim: max — MuJoCo mj_collideGeoms defaults)
@@ -485,6 +502,8 @@ def compile_spec(spec: SceneSpec, dtype=np.float32) -> Model:
         limit_dof=limit_dof, limit_qadr=limit_qadr,
         pair_geom1=pair_geom1, pair_geom2=pair_geom2,
         pair_groups=pair_groups, pair_condim=pair_condim, ncand=ncand,
+        geom_type=g_type, geom_meshid=geom_meshid, nmesh=nmesh,
+        hull_maxv=hull_maxv, hull_maxf=hull_maxf,
         body_ancestor_slots=body_ancestor_slots,
         body_names=body_names, joint_names=joint_names,
         geom_names=tuple(g.name for g in geom_specs),
@@ -514,6 +533,8 @@ def compile_spec(spec: SceneSpec, dtype=np.float32) -> Model:
         geom_condim=jnp.asarray(g_condim),
         col_type=jnp.asarray(col_type), col_size=jp(col_size),
         col_pos=jp(col_pos), col_quat=jp(col_quat),
+        hull_verts=jp(hull_verts), hull_vmask=jp(hull_vmask),
+        hull_fnorm=jp(hull_fnorm), hull_fdist=jp(hull_fdist),
         act_gear=jp(act_gear), act_ctrlrange=jp(act_ctrlrange),
         eq_poly=jp(eq_poly), eq_solref=jp(eq_solref), eq_solimp=jp(eq_solimp),
         limit_range=jp(limit_range) if nlimit else jp(np.zeros((0, 2))),
@@ -583,7 +604,7 @@ def _prune_rest_penetrating_pairs(model: Model) -> Model:
     t.pair_geom2 = t.pair_geom2[kidx]
     t.pair_condim = t.pair_condim[kidx]
     new_groups = []
-    from mujoco_rl_ur5_tpu.physics.collision import NARROWPHASE
+    from mujoco_rl_ur5_tpu.physics.collision import pair_points
 
     for (a, b, idx) in t.pair_groups:
         nidx = remap[idx]
@@ -591,7 +612,7 @@ def _prune_rest_penetrating_pairs(model: Model) -> Model:
         if len(nidx):
             new_groups.append((a, b, nidx))
     t.pair_groups = tuple(new_groups)
-    t.ncand = sum(NARROWPHASE[(a, b)][1] * len(idx) for a, b, idx in t.pair_groups)
+    t.ncand = sum(pair_points(a, b) * len(idx) for a, b, idx in t.pair_groups)
     sel = jnp.asarray(kidx)
     return model.replace(
         pair_friction=model.pair_friction[sel],

@@ -38,6 +38,11 @@ class MeshData:
     com: np.ndarray            # (3,) center of mass
     inertia_com: np.ndarray    # (3,3) unit-density inertia about COM
     hull_verts: np.ndarray     # (nh, 3) convex hull vertices
+    # halfspace hull {x: fnorm.x <= fdist} over the decimated hull_verts —
+    # the on-device collision representation (MuJoCo also collides meshes
+    # through their convex hulls)
+    hull_fnorm: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
+    hull_fdist: np.ndarray = field(default_factory=lambda: np.zeros(0))
     # fitted collision primitive in mesh frame: "box" or "capsule"
     fit_kind: str = "box"
     fit_size: np.ndarray = field(default_factory=lambda: np.zeros(3))
@@ -222,6 +227,38 @@ def convex_hull(verts: np.ndarray, max_verts: int = 64) -> np.ndarray:
     return hv
 
 
+def hull_halfspaces(hull_verts: np.ndarray):
+    """Halfspace representation {x : n_f . x <= d_f} of a convex vertex set.
+
+    Recomputes the hull over the (possibly decimated) vertex set and merges
+    coplanar triangle faces, so a box mesh yields 6 planes, not 12 triangles.
+    This is the collision representation MuJoCo itself uses for mesh geoms
+    (convex hull), replacing the fitted-primitive proxy that over-approximated
+    e.g. the UR5 wrist rings and produced phantom arm self-contacts.
+
+    Returns (normals (nf, 3) unit outward, offsets (nf,)).
+    """
+    hv, faces = hull_faces(hull_verts)
+    a, b, c = hv[faces[:, 0]], hv[faces[:, 1]], hv[faces[:, 2]]
+    n = np.cross(b - a, c - a)
+    ln = np.linalg.norm(n, axis=1)
+    keep = ln > 1e-12
+    n = n[keep] / ln[keep, None]
+    d = np.einsum("ij,ij->i", n, a[keep])
+    # merge coplanar faces
+    out_n, out_d = [], []
+    for i in range(len(n)):
+        dup = False
+        for j in range(len(out_n)):
+            if np.dot(n[i], out_n[j]) > 1.0 - 1e-9 and abs(d[i] - out_d[j]) < 1e-9:
+                dup = True
+                break
+        if not dup:
+            out_n.append(n[i])
+            out_d.append(d[i])
+    return np.asarray(out_n), np.asarray(out_d)
+
+
 def fit_primitive(verts: np.ndarray):
     """Fit an oriented box or capsule to a vertex cloud (PCA OBB; capsule when
     strongly elongated). Returns (kind, size, pos, quat) in mesh frame.
@@ -271,10 +308,11 @@ def process_mesh(
         vol, com, inertia = mass_properties(verts, faces)
     if vol < 0:  # inward-wound mesh
         vol, inertia = -vol, -inertia
-    hull = convex_hull(verts)
+    hull = convex_hull(verts, max_verts=24)
+    fnorm, fdist = hull_halfspaces(hull)
     kind, size, pos, quat = fit_primitive(hull)
     return MeshData(
         name=name, verts=verts, faces=faces, volume=vol, com=com,
-        inertia_com=inertia, hull_verts=hull,
+        inertia_com=inertia, hull_verts=hull, hull_fnorm=fnorm, hull_fdist=fdist,
         fit_kind=kind, fit_size=size, fit_pos=pos, fit_quat=quat,
     )

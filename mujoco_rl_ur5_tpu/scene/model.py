@@ -77,6 +77,11 @@ class Topology:
     body_tree: np.ndarray = None      # tree id per body (-1 for static bodies)
     tree_rootbody: np.ndarray = None  # root (moving) body per tree
     geom_body: np.ndarray = None
+    geom_type: np.ndarray = None      # (ngeom,) true MJCF geom type (render)
+    geom_meshid: np.ndarray = None    # (ngeom,) mesh-table index, -1 for non-mesh
+    nmesh: int = 0
+    hull_maxv: int = 0                # vertex pad width of the hull tables
+    hull_maxf: int = 0                # face pad width
     act_dofadr: np.ndarray = None     # dof targeted by each actuator (scalar joints)
     act_jnt: np.ndarray = None
     eq_j1_dof: np.ndarray = None      # equality: dof of joint1 / joint2
@@ -145,11 +150,17 @@ class Model:
     geom_solref: jax.Array = None    # (ngeom, 2)
     geom_solimp: jax.Array = None    # (ngeom, 3)
     geom_condim: jax.Array = None    # (ngeom,) int
-    # collision proxy (mesh geoms get fitted primitives; others copy geom_*)
+    # collision shape (cylinders collide as capsules; mesh geoms collide as
+    # convex hulls through the hull_* tables below, like MuJoCo itself)
     col_type: jax.Array = None       # (ngeom,) int geom type used for collision
     col_size: jax.Array = None       # (ngeom, 3)
     col_pos: jax.Array = None        # (ngeom, 3) local offset of proxy in geom frame
     col_quat: jax.Array = None       # (ngeom, 4)
+    # per-mesh convex hulls, padded to (nmesh, hull_maxv/hull_maxf)
+    hull_verts: jax.Array = None     # (nmesh, maxv, 3) mesh-frame hull vertices
+    hull_vmask: jax.Array = None     # (nmesh, maxv) 1.0 = real vertex
+    hull_fnorm: jax.Array = None     # (nmesh, maxf, 3) outward face normals
+    hull_fdist: jax.Array = None     # (nmesh, maxf) offsets; padding = +BIG
     # actuators
     act_gear: jax.Array = None       # (nu,)
     act_ctrlrange: jax.Array = None  # (nu, 2)
