@@ -1,0 +1,18 @@
+"""L4 learning stack: Flax FCN Q-network, device-resident replay, the
+shortsighted-DQN grasp agent, normalization stats, and the offline pipeline.
+
+TPU-native re-design of the reference's torch/CUDA learning layer
+(Modules.py, Grasping_Agent_multidiscrete.py, normalize.py, Offline RL/*).
+"""
+
+from mujoco_rl_ur5_tpu.learn.networks import (
+    MultidiscreteResnet, multidiscrete_resnet, resnet, policy_resnet,
+    count_parameters,
+)
+from mujoco_rl_ur5_tpu.learn.replay import ReplayBuffer
+from mujoco_rl_ur5_tpu.learn.agent import GraspAgent, AgentConfig
+
+__all__ = [
+    "MultidiscreteResnet", "multidiscrete_resnet", "resnet", "policy_resnet",
+    "count_parameters", "ReplayBuffer", "GraspAgent", "AgentConfig",
+]
