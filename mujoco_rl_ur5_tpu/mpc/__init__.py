@@ -1,0 +1,25 @@
+"""mpc/ — TPU-native trajectory-optimization engine (SURVEY.md §7.7).
+
+The reference's planner layer is ikpy IK + serial tolerance-`while` PID
+loops (gym_grasper/controller/MujocoController.py:269-517). This package
+replaces it with batched iLQR over the compiled dynamics:
+
+  * `lqr`       — time-varying LQT backward passes: classic sequential
+                  Riccati (lax.scan) and the parallel-in-time
+                  associative-scan formulation (O(log H) depth);
+  * `ilqr`      — fixed-iteration iLQR with vmapped linearization and a
+                  parallel line search, jit/vmap-safe end to end;
+  * `grasp_mpc` — `GraspMPC`: the UR5 grasp planner bound to an arm
+                  submodel (scene/reduce.py), with reach + tracking costs.
+"""
+
+from mujoco_rl_ur5_tpu.mpc.lqr import (
+    LQR, Gains, backward_sequential, backward_parallel, rollout_policy,
+)
+from mujoco_rl_ur5_tpu.mpc.ilqr import ILQRResult, ilqr
+from mujoco_rl_ur5_tpu.mpc.grasp_mpc import GraspMPC, MPCWeights
+
+__all__ = [
+    "LQR", "Gains", "backward_sequential", "backward_parallel",
+    "rollout_policy", "ILQRResult", "ilqr", "GraspMPC", "MPCWeights",
+]

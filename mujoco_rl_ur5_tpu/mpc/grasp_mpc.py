@@ -1,0 +1,204 @@
+"""Grasp-MPC: batched iLQR trajectory optimization for the UR5 grasp scenes.
+
+This is the engine the build exists for (BASELINE.md north star: 4096
+parallel grasp-MPC solves at H=64 on TPU). It replaces the reference's
+planner layer — ikpy IK + serial PID while-loops
+(MujocoController.py:269-517) — with trajectory optimization over the
+compiled arm dynamics:
+
+  * plans on the ARM SUBMODEL (scene/reduce.py): 8 hinge dofs -> state
+    dim 16, so Riccati blocks are tiny and batch perfectly;
+  * each MPC knot = `substeps` physics steps (2 ms each), so H=64 knots
+    cover 64*substeps*2 ms of motion;
+  * costs are differentiable functions of the compiled FK (reaching a world
+    EE target uses the same grasp-center offset [0,-0.005,0.16] as the
+    reference, MujocoController.py:493) — no IK needed, though tracking
+    mode reproduces the PID+IK command sequences for the parity gate;
+  * `solve` is pure and jit/vmap-safe; `solve_batch` shards its batch axis
+    over a device mesh via parallel/ utilities.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_rl_ur5_tpu.mpc.ilqr import ILQRResult, ilqr
+from mujoco_rl_ur5_tpu.physics import dynamics
+from mujoco_rl_ur5_tpu.physics.kinematics import fk
+from mujoco_rl_ur5_tpu.scene.model import Model, State
+from mujoco_rl_ur5_tpu.scene.reduce import load_arm_model
+
+# gripper grasp-center offset from ee_link (MujocoController.py:493)
+EE_OFFSET = np.array([0.0, -0.005, 0.16])
+
+
+class MPCWeights(NamedTuple):
+    """Quadratic cost weights (all scalars; tuned for the UR5 scenes)."""
+
+    w_ee: float = 60.0        # terminal EE position
+    w_ee_run: float = 2.0     # running EE position
+    w_vel: float = 0.05       # joint velocity damping
+    w_ctrl: float = 1e-3      # control effort
+    w_posture: float = 0.02   # stay near a reference posture
+    w_track: float = 50.0     # joint-space tracking (track mode)
+    w_track_vel: float = 0.5
+
+
+class GraspMPC:
+    """Batched iLQR grasp planner bound to an arm submodel."""
+
+    def __init__(self, model: Model, horizon: int = 64, substeps: int = 8,
+                 iters: int = 6, weights: MPCWeights = MPCWeights(),
+                 arm_model: Optional[Model] = None, parallel: bool = True):
+        """``model`` may be the FULL scene model (for index mapping from env
+        states); planning runs on ``arm_model`` (auto-reduced when the full
+        model still contains free bodies is not possible from a compiled
+        Model — pass one from scene.reduce.load_arm_model, or give the scene
+        path via from_scene)."""
+        self.full = model
+        self.arm = arm_model if arm_model is not None else model
+        t = self.arm.topo
+        if np.any(t.jnt_type != 3):  # JNT_HINGE
+            raise ValueError("GraspMPC plans on an all-hinge arm submodel; "
+                             "use scene.reduce.load_arm_model or from_scene")
+        self.H = horizon
+        self.substeps = substeps
+        self.iters = iters
+        self.w = weights
+        self.parallel = parallel
+        self.nq = t.nq
+        self.nu = t.nu
+        self.nx = 2 * t.nq
+        self.ee_body = t.body_id("ee_link")
+        self.act_qadr = t.jnt_qposadr[t.act_jnt]
+        # full-model -> arm-model qpos/dof index maps (by joint name)
+        ft = model.topo
+        self.full_qadr = np.array(
+            [ft.jnt_qposadr[ft.joint_id(n)] for n in t.joint_names])
+        self.full_dofadr = np.array(
+            [ft.jnt_dofadr[ft.joint_id(n)] for n in t.joint_names])
+        self.home = np.asarray(
+            [0.0, -1.57, 1.57, -1.57, -1.57, 0.0, 0.0, 0.0])[: self.nq]
+        self.u_lo = np.asarray(self.arm.act_ctrlrange[:, 0])
+        self.u_hi = np.asarray(self.arm.act_ctrlrange[:, 1])
+
+    @classmethod
+    def from_scene(cls, path: str, **kw) -> "GraspMPC":
+        from mujoco_rl_ur5_tpu.scene.compile import load_model
+
+        return cls(load_model(path), arm_model=load_arm_model(path), **kw)
+
+    # -- dynamics ------------------------------------------------------------
+
+    def dyn_step(self, x: jax.Array, u: jax.Array) -> jax.Array:
+        """One MPC knot = `substeps` smooth physics steps of the arm."""
+        st = State(qpos=x[: self.nq], qvel=x[self.nq:], ctrl=u,
+                   time=jnp.zeros((), x.dtype))
+
+        def sub(st, _):
+            return dynamics.step(self.arm, st, ncon=0), None
+
+        st, _ = jax.lax.scan(sub, st, None, length=self.substeps)
+        return jnp.concatenate([st.qpos, st.qvel])
+
+    def ee_pos(self, qpos: jax.Array) -> jax.Array:
+        """Differentiable grasp-center world position."""
+        kin = fk(self.arm, qpos)
+        return kin.xpos[self.ee_body] - jnp.asarray(EE_OFFSET, qpos.dtype)
+
+    def hold_ctrl(self, qpos: jax.Array) -> jax.Array:
+        """Gravity-compensation controls at rest: ctrl = qfrc_bias / gear,
+        clipped to the actuator range. Used as the iLQR warm start so the
+        nominal trajectory holds the arm instead of free-falling (a far
+        better-conditioned linearization point)."""
+        kin = fk(self.arm, qpos)
+        cinert = dynamics.com_inertia(self.arm, kin)
+        bias = dynamics.rne_bias(self.arm, kin, cinert,
+                                 jnp.zeros((self.arm.topo.nv,), qpos.dtype))
+        u = bias[self.arm.topo.act_dofadr] / self.arm.act_gear
+        return jnp.clip(u, jnp.asarray(self.u_lo, qpos.dtype),
+                        jnp.asarray(self.u_hi, qpos.dtype))
+
+    # -- state extraction ------------------------------------------------------
+
+    def x_from_state(self, state: State) -> jax.Array:
+        """Arm MPC state from a FULL-scene State (env integration)."""
+        return jnp.concatenate([
+            state.qpos[..., self.full_qadr],
+            state.qvel[..., self.full_dofadr],
+        ], axis=-1)
+
+    # -- costs -----------------------------------------------------------------
+
+    def _reach_stage(self, x, u, target):
+        w = self.w
+        q, qd = x[: self.nq], x[self.nq:]
+        e = self.ee_pos(q) - target
+        posture = q - jnp.asarray(self.home, x.dtype)
+        return (0.5 * w.w_ee_run * e @ e
+                + 0.5 * w.w_vel * qd @ qd
+                + 0.5 * w.w_ctrl * u @ u
+                + 0.5 * w.w_posture * posture @ posture)
+
+    def _reach_term(self, x, target):
+        w = self.w
+        q, qd = x[: self.nq], x[self.nq:]
+        e = self.ee_pos(q) - target
+        return 0.5 * w.w_ee * (e @ e) + 0.5 * 10.0 * w.w_vel * (qd @ qd)
+
+    def _track_stage(self, x, u, ref):
+        """ref = (q_ref, qd_ref) joint-space knots (parity mode)."""
+        w = self.w
+        q, qd = x[: self.nq], x[self.nq:]
+        dq = q - ref[0]
+        dv = qd - ref[1]
+        return (0.5 * w.w_track * dq @ dq + 0.5 * w.w_track_vel * dv @ dv
+                + 0.5 * w.w_ctrl * u @ u)
+
+    def _track_term(self, x, ref):
+        w = self.w
+        dq = x[: self.nq] - ref[0]
+        dv = x[self.nq:] - ref[1]
+        return 0.5 * 20.0 * w.w_track * dq @ dq + 0.5 * w.w_track_vel * dv @ dv
+
+    # -- solves ------------------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=0)
+    def solve(self, x0: jax.Array, target: jax.Array,
+              u_init: Optional[jax.Array] = None) -> ILQRResult:
+        """Reach the world EE target from MPC state x0 (nx,). Warm-startable
+        with u_init for receding-horizon use; defaults to gravity hold."""
+        if u_init is None:
+            u_init = jnp.tile(self.hold_ctrl(x0[: self.nq])[None],
+                              (self.H, 1))
+        targets = jnp.tile(target[None], (self.H, 1))
+        return ilqr(self.dyn_step, self._reach_stage, self._reach_term,
+                    x0, u_init, targets, target, iters=self.iters,
+                    parallel=self.parallel, u_lo=self.u_lo, u_hi=self.u_hi)
+
+    @partial(jax.jit, static_argnums=0)
+    def solve_batch(self, state: State, targets: jax.Array) -> ILQRResult:
+        """Batched solve from a FULL-scene State batch: the north-star
+        workload (B scenarios x H knots on one chip)."""
+        x0 = self.x_from_state(state)
+        return jax.vmap(lambda x, t: self.solve(x, t))(x0, targets)
+
+    @partial(jax.jit, static_argnums=0)
+    def track(self, x0: jax.Array, q_refs: jax.Array,
+              qd_refs: Optional[jax.Array] = None) -> ILQRResult:
+        """Track a joint-space knot trajectory (H+1, nq) — the parity mode
+        that reproduces the reference's PID command sequences."""
+        if qd_refs is None:
+            qd_refs = jnp.zeros_like(q_refs)
+        u_init = jnp.tile(self.hold_ctrl(x0[: self.nq])[None], (self.H, 1))
+        term_ref = (q_refs[-1], qd_refs[-1])
+        # stage cost at step k is evaluated on x_k; align refs to knots 0..H-1
+        refs = (q_refs[:-1], qd_refs[:-1])
+        return ilqr(self.dyn_step, self._track_stage, self._track_term,
+                    x0, u_init, refs, term_ref, iters=self.iters,
+                    parallel=self.parallel, u_lo=self.u_lo, u_hi=self.u_hi)

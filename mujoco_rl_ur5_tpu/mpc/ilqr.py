@@ -1,0 +1,123 @@
+"""iLQR over arbitrary jittable dynamics.
+
+The optimizer the reference never had: instead of tolerance-`while` PID
+loops (MujocoController.py:269-384), plan an H-step control trajectory by
+repeatedly (1) linearizing the dynamics along the nominal trajectory —
+every timestep's Jacobian computed IN PARALLEL with `vmap(jacfwd)`, (2)
+solving the resulting LQT subproblem with the associative-scan Riccati pass
+(mpc/lqr.py, O(log H) depth), and (3) line-searching the closed-loop
+forward rollout — all candidate step sizes evaluated in parallel too.
+
+Everything is fixed-shape and fixed-iteration (`lax.scan` over solver
+iterations), so one `jit(vmap(solve))` scales to 4096 scenarios on a chip
+and shards over a device mesh with zero code changes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_rl_ur5_tpu.mpc.lqr import (
+    LQR, Gains, backward_parallel, backward_sequential, rollout_policy,
+)
+
+
+class ILQRResult(NamedTuple):
+    xs: jax.Array      # (H+1, nx) optimized state trajectory
+    us: jax.Array      # (H, nu) optimized controls
+    cost: jax.Array    # () final total cost
+    gains: Gains       # feedback policy around the solution (for MPC warm
+                       # starts and closed-loop execution)
+
+
+def _total_cost(cost_fn, term_cost_fn, xs, us, refs, term_ref):
+    stage = jax.vmap(cost_fn)(xs[:-1], us, refs)
+    return stage.sum() + term_cost_fn(xs[-1], term_ref)
+
+
+def ilqr(
+    dyn_step: Callable,       # (x, u) -> x_next
+    cost_fn: Callable,        # (x, u, ref_k) -> scalar stage cost
+    term_cost_fn: Callable,   # (x, ref_H) -> scalar terminal cost
+    x0: jax.Array,            # (nx,)
+    u_init: jax.Array,        # (H, nu)
+    refs,                     # pytree with leading axis H (per-step refs)
+    term_ref,                 # terminal reference pytree
+    iters: int = 10,
+    alphas=(1.0, 0.6, 0.3, 0.1, 0.03),
+    reg: float = 1e-6,
+    parallel: bool = True,
+    u_lo=None,
+    u_hi=None,
+) -> ILQRResult:
+    """Solve one trajectory-optimization problem. jit/vmap-safe; all loop
+    bounds static."""
+    H, nu = u_init.shape
+    nx = x0.shape[0]
+    backward = backward_parallel if parallel else backward_sequential
+    alphas = jnp.asarray(alphas, x0.dtype)
+
+    def open_loop(x0, us):
+        def step(x, u):
+            xn = dyn_step(x, u)
+            return xn, x
+        xH, xs = jax.lax.scan(step, x0, us)
+        return jnp.concatenate([xs, xH[None]], axis=0)
+
+    # stage expansions: jacfwd over the joint (x, u) input, vmapped over H
+    def lin_dyn(x, u):
+        F = jax.jacfwd(dyn_step, argnums=0)(x, u)
+        L = jax.jacfwd(dyn_step, argnums=1)(x, u)
+        return F, L
+
+    def quad_cost(x, u, ref):
+        q = jax.grad(cost_fn, argnums=0)(x, u, ref)
+        r = jax.grad(cost_fn, argnums=1)(x, u, ref)
+        X = jax.hessian(cost_fn, argnums=0)(x, u, ref)
+        U = jax.hessian(cost_fn, argnums=1)(x, u, ref)
+        return X, q, U, r
+
+    def iteration(carry, _):
+        xs, us, cost = carry
+        F, L = jax.vmap(lin_dyn)(xs[:-1], us)
+        X, q, U, r = jax.vmap(quad_cost)(xs[:-1], us, refs)
+        XH = jax.hessian(term_cost_fn, argnums=0)(xs[-1], term_ref)
+        qH = jax.grad(term_cost_fn, argnums=0)(xs[-1], term_ref)
+        # expansion around the nominal: defect c = 0 (rollout is exact)
+        p = LQR(F=F, L=L, c=jnp.zeros_like(xs[:-1]), X=X, q=q,
+                U=U, r=r, XH=XH, qH=qH)
+        gains = backward(p, reg=reg)
+
+        def try_alpha(a):
+            xs_a, us_a = rollout_policy(dyn_step, x0, xs, us, gains, a,
+                                        u_lo=u_lo, u_hi=u_hi)
+            c_a = _total_cost(cost_fn, term_cost_fn, xs_a, us_a, refs,
+                              term_ref)
+            return xs_a, us_a, c_a
+
+        xs_c, us_c, costs = jax.vmap(try_alpha)(alphas)
+        best = jnp.argmin(costs)
+        improved = costs[best] < cost
+        xs2 = jnp.where(improved, xs_c[best], xs)
+        us2 = jnp.where(improved, us_c[best], us)
+        cost2 = jnp.where(improved, costs[best], cost)
+        return (xs2, us2, cost2), cost2
+
+    xs0 = open_loop(x0, u_init)
+    cost0 = _total_cost(cost_fn, term_cost_fn, xs0, u_init, refs, term_ref)
+    (xs, us, cost), _ = jax.lax.scan(
+        iteration, (xs0, u_init, cost0), None, length=iters)
+
+    # final policy around the converged trajectory (for MPC execution)
+    F, L = jax.vmap(lin_dyn)(xs[:-1], us)
+    X, q, U, r = jax.vmap(quad_cost)(xs[:-1], us, refs)
+    XH = jax.hessian(term_cost_fn, argnums=0)(xs[-1], term_ref)
+    qH = jax.grad(term_cost_fn, argnums=0)(xs[-1], term_ref)
+    p = LQR(F=F, L=L, c=jnp.zeros_like(xs[:-1]), X=X, q=q, U=U, r=r,
+            XH=XH, qH=qH)
+    gains = backward(p, reg=reg)
+    return ILQRResult(xs=xs, us=us, cost=cost, gains=gains)
