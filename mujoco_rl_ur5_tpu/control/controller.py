@@ -70,10 +70,15 @@ class Controller:
     reference's call sites (each call site hardcodes its budget, SURVEY §3.2).
     """
 
-    def __init__(self, model: Model, ncon: int = 64, iterations: int = 30):
+    def __init__(self, model: Model, ncon: int = 64,
+                 iterations: int | None = None):
+        """``iterations=None`` uses the scene's own solver iteration budget
+        (<option iterations=...>, e.g. 100 in the grasp scenes) — the parity
+        default. Pass a smaller count to trade fidelity for speed."""
         self.model = model
         self.ncon = ncon
-        self.iterations = iterations
+        self.iterations = (model.topo.iterations if iterations is None
+                           else iterations)
         t = model.topo
         # actuated joint addresses, in actuator order
         self.act_qadr = t.jnt_qposadr[t.act_jnt]       # (nu,)
@@ -82,6 +87,15 @@ class Controller:
         self.chain = ArmChain(model)
         self.ee_body = t.body_id("ee_link")
         self.dt = t.timestep
+        # instance-level groups so `create_group` can extend them
+        self.groups = dict(GROUPS)
+
+    def create_group(self, name: str, actuator_ids) -> None:
+        """Define an ad-hoc joint group (MujocoController.py:58-77)."""
+        ids = tuple(int(i) for i in actuator_ids)
+        assert len(set(ids)) == len(ids), "duplicate actuator ids"
+        assert all(0 <= i < self.nu for i in ids), "actuator id out of range"
+        self.groups[name] = ids
 
     # -- state constructors -------------------------------------------------
 
@@ -113,10 +127,13 @@ class Controller:
 
     def move_group(self, state: State, cstate: CtrlState, group: str,
                    target: jax.Array | None, tolerance: float,
-                   max_steps: int) -> MoveResult:
+                   max_steps: int, record: bool = False):
         """`move_group_to_joint_target` (MujocoController.py:269) as a masked
-        fixed-horizon scan. `target=None` re-converges to current setpoints."""
-        ids = np.asarray(GROUPS[group], np.int32)
+        fixed-horizon scan. `target=None` re-converges to current setpoints.
+        `record=True` additionally returns the (max_steps, nu) actuated-joint
+        trajectory (the reference's `plot=True` capture, :639-654) as a
+        second output."""
+        ids = np.asarray(self.groups[group], np.int32)
         gmask = np.zeros(self.nu, bool)
         gmask[ids] = True
 
@@ -124,10 +141,12 @@ class Controller:
         if target is not None:
             setpoints = setpoints.at[..., ids].set(target)
         cstate = cstate.replace(setpoints=setpoints)
-        return self._run(state, cstate, jnp.asarray(gmask), tolerance, max_steps)
+        return self._run(state, cstate, jnp.asarray(gmask), tolerance,
+                         max_steps, record=record)
 
     def _run(self, state: State, cstate: CtrlState, gmask, tolerance,
-             max_steps: int, check_tolerance: bool = True) -> MoveResult:
+             max_steps: int, check_tolerance: bool = True,
+             record: bool = False):
         model, ncon, iters, dt = self.model, self.ncon, self.iterations, self.dt
         qadr = self.act_qadr
 
@@ -157,16 +176,18 @@ class Controller:
                 ps, ps_new,
             )
             steps = steps + jnp.where(done_new, 0, 1).astype(jnp.int32)
-            return (st_out, ps_out, done_new, steps), None
+            out = st_out.qpos[..., qadr] if record else None
+            return (st_out, ps_out, done_new, steps), out
 
         batch = state.time.shape
         done0 = jnp.zeros(batch, bool)
         steps0 = jnp.zeros(batch, jnp.int32)
-        (st, ps, done, steps), _ = jax.lax.scan(
+        (st, ps, done, steps), traj = jax.lax.scan(
             body, (state, cstate.pid, done0, steps0), None, length=max_steps
         )
-        return MoveResult(state=st, ctrl=cstate.replace(pid=ps),
-                          success=done, steps=steps)
+        res = MoveResult(state=st, ctrl=cstate.replace(pid=ps),
+                         success=done, steps=steps)
+        return (res, traj) if record else res
 
     # -- reference API parity -----------------------------------------------
 
@@ -201,11 +222,32 @@ class Controller:
         return self.move_group(state, cstate, "Gripper", jnp.full((1,), -0.4),
                                tolerance=tolerance, max_steps=max_steps)
 
-    def grasp(self, state, cstate):
+    def grasp(self, state, cstate, max_steps: int = 300):
         """True when an object blocks the fingers (inverted convention,
         MujocoController.py:436-444)."""
-        res = self.close_gripper(state, cstate, max_steps=300)
+        res = self.close_gripper(state, cstate, max_steps=max_steps)
         return res.replace(success=~res.success)
+
+    def toss_it_from_the_ellbow(self, state, cstate,
+                                settle_steps: int = 2000) -> MoveResult:
+        """The reference's object-toss demo (MujocoController.py:604-619):
+        300 raw-torque steps (elbow/shoulder full negative; after step 200
+        also open the gripper and flick wrist_1), then zero torques and
+        re-converge every joint to its current setpoint."""
+        model, ncon, iters = self.model, self.ncon, self.iterations
+
+        def body(st, t):
+            ctrl = (jnp.zeros_like(st.ctrl)
+                    .at[..., 2].set(-2.0).at[..., 0].set(-2.0))
+            late = (t > 200).astype(ctrl.dtype)
+            ctrl = ctrl.at[..., 6].add(late * 1.0).at[..., 3].add(late * -1.0)
+            st = dynamics.step(model, st.replace(ctrl=ctrl), ncon=ncon,
+                               iterations=iters)
+            return st, None
+
+        st, _ = jax.lax.scan(body, state, jnp.arange(300))
+        return self.move_group(st, cstate, "All", None, tolerance=0.1,
+                               max_steps=settle_steps)
 
     def stay(self, state, cstate, duration_ms: float) -> MoveResult:
         """Hold all setpoints for `duration_ms` of simulated time

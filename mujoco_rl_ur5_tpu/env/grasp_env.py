@@ -77,18 +77,29 @@ def _select(mask, a, b):
 class GraspEnv:
     """Functional batched env bound to a compiled scene."""
 
-    def __init__(self, model: Model, ncon: int = 128, iterations: int = 30,
+    def __init__(self, model: Model, ncon: int = 128,
+                 iterations: int | None = None,
                  image_width: int = 200, image_height: int = 200,
-                 camera: str = "top_down", demo: bool = False):
+                 camera: str = "top_down", demo: bool = False,
+                 budget_scale: float = 1.0):
+        """``budget_scale`` scales every phase's step budget (and the settle
+        times); 1.0 = the reference's budgets (GraspingEnv.py:212-316). Tests
+        use small scales to exercise the full phase-machine structure in CI
+        time — parity claims only hold at 1.0. ``iterations=None`` follows
+        the scene's <option iterations> (100 in the grasp scenes)."""
         self.model = model
         self.ctl = Controller(model, ncon=ncon, iterations=iterations)
         self.cam: Camera = make_camera(model, camera, image_width, image_height)
         self.W, self.H = image_width, image_height
         self.demo = demo
+        self._scale = budget_scale
         t = model.topo
         free = np.nonzero(t.jnt_type == JNT_FREE)[0]
         self.free_qadr = t.jnt_qposadr[free]            # (nobj,)
         self.nobj = len(free)
+
+    def _steps(self, n: int) -> int:
+        return max(2, int(round(n * self._scale)))
 
     # -- observation --------------------------------------------------------
 
@@ -118,7 +129,8 @@ class GraspEnv:
         sim = sim.replace(qpos=qpos, qvel=jnp.zeros_like(sim.qvel))
         cstate = self.ctl.init(qpos0=qpos)
         # settle: objects fall into the bin (1000 ms; 5000 in demo mode)
-        res = self.ctl.stay(sim, cstate, 5000.0 if self.demo else 1000.0)
+        res = self.ctl.stay(sim, cstate,
+                            (5000.0 if self.demo else 1000.0) * self._scale)
         rgb, depth = self.observe(res.state)
         return EnvState(sim=res.state, ctl=res.ctrl, rgb=rgb, depth=depth, key=key)
 
@@ -151,13 +163,14 @@ class GraspEnv:
 
     def move_and_grasp(self, sim: State, ctl: CtrlState, coords, rotation):
         C = self.ctl
+        S = self._steps
         f32 = sim.qpos.dtype
 
         # 1. pre-grasp above target; IK failure -> center fallback
         c1 = coords.at[2].set(1.1).astype(f32)
-        r1 = C.move_ee(sim, ctl, c1, tolerance=0.05, max_steps=1000)
+        r1 = C.move_ee(sim, ctl, c1, tolerance=0.05, max_steps=S(1000))
         rc = C.move_ee(r1.state, r1.ctrl, jnp.asarray([0.0, -0.6, 1.1], f32),
-                       tolerance=0.05, max_steps=1000)
+                       tolerance=0.05, max_steps=S(1000))
         need_center = ~r1.ik_ok
         sim1, ctl1 = _select(need_center, (rc.state, rc.ctrl),
                              (r1.state, r1.ctrl))
@@ -168,14 +181,14 @@ class GraspEnv:
         wrist_target = jnp.deg2rad(jnp.asarray(ROTATIONS, f32))[rotation]
         sp = ctl1.setpoints.at[..., 5].set(wrist_target)
         rr = C._run(sim1, ctl1.replace(setpoints=sp),
-                    jnp.ones(C.nu, bool), 0.05, 500)       # group-All move :196
-        ro = C.open_gripper(rr.state, rr.ctrl, half=True, max_steps=1000)
+                    jnp.ones(C.nu, bool), 0.05, S(500))    # group-All move :196
+        ro = C.open_gripper(rr.state, rr.ctrl, half=True, max_steps=S(1000))
         c2 = coords.at[2].set(
             jnp.maximum(TABLE_HEIGHT, coords[2] - 0.01)
         ).astype(f32)
-        rd = C.move_ee(ro.state, ro.ctrl, c2, tolerance=0.01, max_steps=300)
-        rs = C.stay(rd.state, rd.ctrl, 100.0)
-        rg = C.grasp(rs.state, rs.ctrl)
+        rd = C.move_ee(ro.state, ro.ctrl, c2, tolerance=0.01, max_steps=S(300))
+        rs = C.stay(rd.state, rd.ctrl, 100.0 * self._scale)
+        rg = C.grasp(rs.state, rs.ctrl, max_steps=S(300))
         # grasp only counts if the descend reached its target (:272-279)
         grasp_ok = pre_ok & rd.success & rg.success
         sim2, ctl2 = _select(pre_ok, (rg.state, rg.ctrl), (sim1, ctl1))
@@ -183,25 +196,26 @@ class GraspEnv:
         # 5. transport: shoulder_pan Kp -> 10, center, drop bin (:282-305)
         ctl2 = C.set_kp(ctl2, 0, 10.0)
         r3 = C.move_ee(sim2, ctl2, jnp.asarray([0.0, -0.6, 1.1], f32),
-                       tolerance=0.05, max_steps=1000)
+                       tolerance=0.05, max_steps=S(1000))
         r4 = C.move_ee(r3.state, r3.ctrl, jnp.asarray([0.6, 0.0, 1.15], f32),
-                       tolerance=0.01, max_steps=1200)
+                       tolerance=0.01, max_steps=S(1200))
 
         # 6. final finger check (only when the initial grasp succeeded):
         #    close hits max steps <=> an object still blocks the fingers
-        rf = C.close_gripper(r4.state, r4.ctrl, max_steps=100 if self.demo
-                             else 1000, tolerance=0.01)
+        rf = C.close_gripper(r4.state, r4.ctrl,
+                             max_steps=S(100 if self.demo else 1000),
+                             tolerance=0.01)
         sim3, ctl3 = _select(grasp_ok, (rf.state, rf.ctrl),
                              (r4.state, r4.ctrl))
         grasped = grasp_ok & ~rf.success                    # :312-327
 
         # 7. open, settle if grasped, rotate wrist back, Kp -> 20 (:338-347)
-        rop = C.open_gripper(sim3, ctl3, half=False, max_steps=1000)
-        rst = C.stay(rop.state, rop.ctrl, 200.0)
+        rop = C.open_gripper(sim3, ctl3, half=False, max_steps=S(1000))
+        rst = C.stay(rop.state, rop.ctrl, 200.0 * self._scale)
         sim4, ctl4 = _select(grasped, (rst.state, rst.ctrl),
                              (rop.state, rop.ctrl))
         sp = ctl4.setpoints.at[..., 5].set(0.0)
         rb = C._run(sim4, ctl4.replace(setpoints=sp), jnp.ones(C.nu, bool),
-                    0.05, 500)
+                    0.05, S(500))
         ctl5 = C.set_kp(rb.ctrl, 0, 20.0)
         return rb.state, ctl5, grasped

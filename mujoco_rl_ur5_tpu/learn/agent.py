@@ -4,10 +4,10 @@ Capability parity with Grasping_Agent_multidiscrete.py:
   * hyperparameters (:22-41): 200x200 obs, buffer 2000, batch 12, gamma 0.0,
     lr 1e-3, Adam weight decay 2e-5, eps 1.0 -> 0.2 with exp decay 8000;
   * `transform_observation` (:301-379): depth clipped at
-    cam_height - TABLE_HEIGHT + 0.01 = 1.1 m, inverted, min-max normalized,
-    sigma = 0.001 Gaussian noise; RGB color-jitter (.5/.5/.5/.5) + /255
-    ("normalize" mode) or channel standardization with stored mean/std
-    ("standardize" mode, normalize.py pickle);
+    cam_z - TABLE_HEIGHT + 0.01 = 1.1 m; "normalize" mode adds sigma=0.001
+    noise then inverts + min-max normalizes (RGB color-jitter .5/.5/.5/.5
+    + /255); "standardize" mode keeps metric depth and standardizes all four
+    channels with the stored mean/std (normalize.py pickle), noise last;
   * `epsilon_greedy` (:232-282): greedy = flat argmax of the Q-map; random
     actions restricted to pixels whose world z >= TABLE_HEIGHT - 0.01
     (the reference resamples until that holds — we sample the SAME
@@ -66,8 +66,24 @@ class AgentConfig:
     depth_only: bool = False
     normalization: str = "normalize"   # or "standardize"
     noise_sigma: float = 0.001
-    depth_clip: float = 1.1       # cam z 1.91 - TABLE_HEIGHT + 0.01 (:130-135)
+    cam_z: float = 2.0            # top_down camera world height; the reference
+                                  # reads model.cam_pos0[top_down][2] == 2.0
+                                  # (Grasping_Agent_multidiscrete.py:130-135,
+                                  #  UR5gripper_2_finger_many_objects.xml:114)
     dtype: str = "bfloat16"
+
+    @property
+    def depth_clip(self) -> float:
+        """round(cam_z - TABLE_HEIGHT + 0.01, 3) = 1.1 for the default scene
+        (Grasping_Agent_multidiscrete.py:130-135)."""
+        return round(self.cam_z - TABLE_HEIGHT + 0.01, 3)
+
+    @classmethod
+    def for_env(cls, env, **kw):
+        """Derive camera-dependent fields from a GraspEnv's bound camera,
+        like the reference derives depth_threshold from the live model."""
+        return cls(width=env.W, height=env.H,
+                   cam_z=float(env.cam.pos[2]), **kw)
 
 
 @struct.dataclass
@@ -138,18 +154,25 @@ class GraspAgent:
         c = self.cfg
         knoise, kjit = jax.random.split(key)
         depth = jnp.minimum(depth.astype(jnp.float32), c.depth_clip)
-        depth = -depth                                       # invert (:318)
-        dmin = depth.min(axis=(-2, -1), keepdims=True)
-        dmax = depth.max(axis=(-2, -1), keepdims=True)
-        depth = (depth - dmin) / jnp.maximum(dmax - dmin, 1e-12)
-        depth = depth + c.noise_sigma * jax.random.normal(knoise, depth.shape)
+        noise = c.noise_sigma * jax.random.normal(knoise, depth.shape)
+        if c.normalization == "standardize":
+            # reference normalize=False path (:348-356): keep the clipped
+            # metric depth, standardize with the stored stats, THEN noise —
+            # no inversion / min-max in this mode.
+            depth = (depth - self.mean[3]) / self.std[3] + noise
+        else:
+            # reference normalize=True path (:314-322): noise on the metric
+            # depth FIRST, then invert + min-max, so the output spans [0,1].
+            depth = depth + noise
+            depth = -depth                                   # invert (:319)
+            dmin = depth.min(axis=(-2, -1), keepdims=True)
+            dmax = depth.max(axis=(-2, -1), keepdims=True)
+            depth = (depth - dmin) / jnp.maximum(dmax - dmin, 1e-12)
         if c.depth_only:
             return depth[..., None]
         rgbf = rgb.astype(jnp.float32)
         if c.normalization == "standardize":
             rgbf = (rgbf - self.mean[:3]) / self.std[:3]
-            depth = ((depth * self.std[3] + self.mean[3]) - self.mean[3]) \
-                / self.std[3]  # depth already unit-scaled; keep as-is
         else:
             rgbf = _color_jitter(kjit, rgbf, 0.5, 0.5, 0.5, 0.5) / 255.0
         return jnp.concatenate([rgbf, depth[..., None]], axis=-1)
@@ -176,10 +199,10 @@ class GraspAgent:
         eps = c.eps_end + (c.eps_start - c.eps_end) * jnp.exp(
             -ts.step.astype(jnp.float32) / c.eps_decay)
         greedy_a, _ = self.greedy(ts, obs)
-        # on-table mask from the metric depth map: the camera sits at
-        # z ~ 1.91 looking straight down, so world z = cam_z - depth
-        cam_z = TABLE_HEIGHT + 1.0        # top_down cam height (scene XML)
-        world_z = cam_z - depth_m
+        # on-table mask from the metric depth map: the top_down camera looks
+        # straight down from cfg.cam_z (2.0 m in the reference scene), so
+        # world z = cam_z - depth (Grasping_Agent_multidiscrete.py:262-282)
+        world_z = c.cam_z - depth_m
         valid = (world_z >= TABLE_HEIGHT - 0.01).reshape(-1)
         logits = jnp.where(valid, 0.0, -jnp.inf)
         pix = jax.random.categorical(kpix, logits)

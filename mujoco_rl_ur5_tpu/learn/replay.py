@@ -80,12 +80,20 @@ class ReplayBuffer:
 
     @partial(jax.jit, static_argnums=(0, 3))
     def sample(self, buf: ReplayState, key: jax.Array, batch_size: int):
-        """(batch_size - 1) uniform + the most recent transition
-        (Modules.py:46-49). Returns (states, actions, rewards)."""
+        """(batch_size - 1) uniform WITHOUT replacement + the most recent
+        transition (Modules.py:46-49 uses random.sample). Returns
+        (states, actions, rewards).
+
+        Without-replacement with a dynamic valid range under jit: draw a
+        uniform score per slot, mask invalid slots to -inf, take the top
+        (batch_size - 1) — exactly a uniform no-replacement sample over the
+        first `size` slots."""
         newest = (buf.position - 1) % self.capacity
-        rand = jax.random.randint(key, (batch_size - 1,), 0,
-                                  jnp.maximum(buf.size, 1))
-        idx = jnp.concatenate([rand, newest[None]])
+        scores = jax.random.uniform(key, (self.capacity,))
+        scores = jnp.where(jnp.arange(self.capacity) < buf.size, scores,
+                           -jnp.inf)
+        _, rand = jax.lax.top_k(scores, batch_size - 1)
+        idx = jnp.concatenate([rand.astype(jnp.int32), newest[None]])
         return buf.states[idx], buf.actions[idx], buf.rewards[idx]
 
     def __len__(self):  # mirrors Modules.py:51-52 semantics via host readback

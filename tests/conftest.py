@@ -26,9 +26,11 @@ def ref_scene(name: str) -> str:
     return os.path.join(REF, name)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture(scope="module")
 def x64():
-    """Enable f64 for tight numeric parity tests."""
+    """Enable f64 for tight numeric parity tests. Module-scoped so x64 is
+    switched OFF again before the next test module runs (a session-scoped
+    version leaked x64 into every module sorted after the first user)."""
     jax.config.update("jax_enable_x64", True)
     yield
     jax.config.update("jax_enable_x64", False)
