@@ -15,4 +15,15 @@ from mujoco_rl_ur5_tpu.learn.agent import GraspAgent, AgentConfig
 __all__ = [
     "MultidiscreteResnet", "multidiscrete_resnet", "resnet", "policy_resnet",
     "count_parameters", "ReplayBuffer", "GraspAgent", "AgentConfig",
+    "Trainer",
 ]
+
+
+def __getattr__(name):
+    # Trainer pulls in env/scene/utils; import lazily to keep `import
+    # mujoco_rl_ur5_tpu.learn` light for pure-learning users.
+    if name == "Trainer":
+        from mujoco_rl_ur5_tpu.learn.train import Trainer
+
+        return Trainer
+    raise AttributeError(name)
