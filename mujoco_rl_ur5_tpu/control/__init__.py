@@ -15,3 +15,6 @@ from mujoco_rl_ur5_tpu.control.controller import (  # noqa: F401
     Controller, CtrlState, MoveResult,
 )
 from mujoco_rl_ur5_tpu.control.ik import ik_solve  # noqa: F401
+from mujoco_rl_ur5_tpu.control.introspect import (  # noqa: F401
+    show_model_info, display_current_values, joint_angle_plot,
+)

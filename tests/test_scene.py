@@ -10,6 +10,8 @@ from tests.conftest import ref_scene
 SCENES = [
     "UR5gripper_2_finger.xml",
     "UR5gripper_2_finger_many_objects.xml",
+    "UR5gripper_reacher.xml",        # BASELINE config 1 (3-finger + target)
+    "UR5gripper_3_finger.xml",       # older 3-finger iteration (SURVEY §2.2)
 ]
 
 
@@ -97,9 +99,14 @@ def test_tree_structure(pair):
     """Tree decomposition: arm+gripper chain is one tree; objects independent."""
     m, _ = pair
     t = m.topo
-    assert t.mtdof == 8
+    # 2-finger scenes: arm (6) + 2 finger hinges = 8 dofs in the arm tree;
+    # the 3-finger gripper has more
+    assert t.mtdof >= 8
     arm_tree = t.body_tree[t.body_names.index("shoulder_link")]
-    assert t.body_tree[t.body_names.index("left_inner_finger")] == arm_tree
+    finger_bodies = [b for b in t.body_names if "finger" in b]
+    assert finger_bodies, "no finger bodies found"
+    for b in finger_bodies:
+        assert t.body_tree[t.body_names.index(b)] == arm_tree
     # each tree's dofs have within-tree ancestors only
     for d in range(t.nv):
         anc = t.dof_ancestors[d]
