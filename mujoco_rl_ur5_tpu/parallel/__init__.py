@@ -8,7 +8,10 @@ data-parallel learning.
 
 from mujoco_rl_ur5_tpu.parallel.mesh import (
     make_mesh, shard_batch, replicate, dp_train_step, dp_env_rollout,
+    dp_env_reset, tp_param_shardings, tp_place_train_state,
 )
+from mujoco_rl_ur5_tpu.parallel.distributed import initialize_multihost
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "dp_train_step",
-           "dp_env_rollout"]
+           "dp_env_rollout", "dp_env_reset", "tp_param_shardings",
+           "tp_place_train_state", "initialize_multihost"]

@@ -74,11 +74,80 @@ def dp_train_step(agent, mesh: Mesh):
 
 def dp_env_rollout(env, mesh: Mesh):
     """Scenario-parallel env step: vmap over the batch, batch axis sharded
-    over "data". Physics, contacts, rendering, and the phase machine all run
-    SPMD with zero collectives (scenarios are independent)."""
+    over "data" (enforced via in_shardings, so placement does not silently
+    depend on the caller). Physics, contacts, rendering, and the phase
+    machine all run SPMD with zero collectives (scenarios are independent)."""
     stepped = jax.vmap(env.step)
+    data = NamedSharding(mesh, P("data"))
 
     def step(es_batch, actions):
         return stepped(es_batch, actions)
 
-    return jax.jit(step)
+    # P("data") shards each leaf's leading (scenario) axis and replicates the
+    # rest; every EnvState/CtrlState leaf carries the batch axis first.
+    return jax.jit(step, in_shardings=(data, data), out_shardings=data)
+
+
+def dp_env_reset(env, mesh: Mesh):
+    """Scenario-parallel reset: keys[B] sharded over "data"."""
+    reset = jax.vmap(env.reset)
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(reset, in_shardings=(data,), out_shardings=data)
+
+
+# -- tensor parallelism -------------------------------------------------------
+
+
+def tp_param_shardings(mesh: Mesh, params, min_features: int = 128):
+    """TP layout for the conv Q-net: shard the output-feature (minor-most)
+    axis of every kernel with >= `min_features` output channels over
+    "model"; replicate everything else. With NHWC activations replicated
+    per data-shard, GSPMD turns each sharded conv into a feature-parallel
+    matmul + all-gather on ICI — profitable once channel counts are large
+    (512-ch blocks in the MULTIDISCRETE_RESNET encoder, learn/networks.py).
+
+    Returns a pytree of NamedShardings matching `params`."""
+    model_ax = mesh.shape["model"]
+
+    def spec(x):
+        if (hasattr(x, "ndim") and x.ndim >= 2
+                and x.shape[-1] >= min_features
+                and x.shape[-1] % model_ax == 0):
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["model"])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, params)
+
+
+def tp_place_train_state(agent, mesh: Mesh, ts, min_features: int = 128):
+    """Place a TrainState with TP-sharded params + matching opt state
+    (everything else replicated). The returned state feeds the ordinary
+    jitted `agent.train_step` — GSPMD propagates the layouts."""
+    psh = tp_param_shardings(mesh, ts.params, min_features)
+    repl = NamedSharding(mesh, P())
+
+    def opt_put(x):
+        if hasattr(x, "ndim"):
+            return jax.device_put(x, _match_spec(mesh, x, min_features))
+        return x
+
+    return ts.replace(
+        params=jax.device_put(ts.params, psh),
+        batch_stats=jax.tree.map(
+            lambda x: jax.device_put(x, repl), ts.batch_stats),
+        opt_state=jax.tree.map(opt_put, ts.opt_state),
+        step=jax.device_put(ts.step, repl),
+        greedy_rotations=jax.device_put(ts.greedy_rotations, repl),
+        greedy_successes=jax.device_put(ts.greedy_successes, repl),
+        random_successes=jax.device_put(ts.random_successes, repl),
+    )
+
+
+def _match_spec(mesh: Mesh, x, min_features: int):
+    """Sharding for one array using the TP kernel rule (helper for opt
+    state leaves, which mirror param shapes)."""
+    model_ax = mesh.shape["model"]
+    if (x.ndim >= 2 and x.shape[-1] >= min_features
+            and x.shape[-1] % model_ax == 0):
+        return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["model"])))
+    return NamedSharding(mesh, P())
