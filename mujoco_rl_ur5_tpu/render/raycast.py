@@ -200,23 +200,38 @@ def _cast_all(model: Model, kin: Kin, origin, dirs):
     return s[inv].T, n[inv].transpose(1, 0, 2)
 
 
-def render_rgbd(model: Model, kin: Kin, cam: Camera, hidden_geoms=()):
+def render_rgbd(model: Model, kin: Kin, cam: Camera, hidden_geoms=(),
+                use_pallas: bool | None = None):
     """Render (rgb uint8 (H, W, 3), depth_buffer f32 (H, W)) with the
     reference's image flips applied. `hidden_geoms`: geom ids to skip (e.g.
-    rgba alpha 0 markers)."""
+    rgba alpha 0 markers).
+
+    `use_pallas=None` auto-selects the fused Pallas min-cast kernel
+    (render/pallas_raycast.py) on TPU backends and the pure-jnp path
+    elsewhere; pass True/False to force."""
     t = model.topo
     dirs = camera_rays(cam).reshape(-1, 3)                  # (N, 3)
     norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     dn = dirs / norm
-    s, n_w = _cast_all(model, kin, cam.pos, dn)             # s along unit dirs
-    # hidden geoms (and alpha=0) never win the z-buffer
-    alpha = model.geom_rgba[:, 3]
-    mask = jnp.asarray(alpha > 0.01, s.dtype)
-    if len(hidden_geoms):
-        mask = mask.at[np.asarray(hidden_geoms)].set(0.0)
-    s = jnp.where(mask[None, :] > 0.5, s, BIG)
-    g_star = jnp.argmin(s, axis=1)
-    s_star = jnp.min(s, axis=1)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from mujoco_rl_ur5_tpu.render.pallas_raycast import cast_rays
+
+        s_star, g_star, nrm = cast_rays(model, kin, cam.pos, dn,
+                                        hidden_geoms=hidden_geoms)
+    else:
+        s, n_w = _cast_all(model, kin, cam.pos, dn)         # s along unit dirs
+        # hidden geoms (and alpha=0) never win the z-buffer
+        alpha = model.geom_rgba[:, 3]
+        mask = jnp.asarray(alpha > 0.01, s.dtype)
+        if len(hidden_geoms):
+            mask = mask.at[np.asarray(hidden_geoms)].set(0.0)
+        s = jnp.where(mask[None, :] > 0.5, s, BIG)
+        g_star = jnp.argmin(s, axis=1)
+        s_star = jnp.min(s, axis=1)
+        nrm = jnp.take_along_axis(
+            n_w, g_star[:, None, None].repeat(3, -1), 1)[:, 0]
     # planar eye depth: s was along unit rays; z_cam = s * (unit dir . forward)
     fwd = -cam.rot[:, 2]
     zdepth = s_star * (dn @ fwd)
@@ -224,7 +239,6 @@ def render_rgbd(model: Model, kin: Kin, cam: Camera, hidden_geoms=()):
     dbuf = encode_depth(cam, zdepth)
 
     # flat Lambertian shading with camera headlight
-    nrm = jnp.take_along_axis(n_w, g_star[:, None, None].repeat(3, -1), 1)[:, 0]
     lambert = jnp.abs(nrm @ fwd)
     base = model.geom_rgba[g_star, :3]
     shade = base * (0.35 + 0.65 * lambert[:, None])
