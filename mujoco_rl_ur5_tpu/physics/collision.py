@@ -14,11 +14,13 @@ Conventions: contact normal points from geom1 INTO geom2 (MuJoCo convention);
 ``dist`` is the signed surface separation (negative = penetrating). Points
 with dist = BIG are inactive padding.
 
-Supported type pairs (after mesh->primitive proxying at compile time):
+Supported type pairs (after mesh/cylinder->hull proxying at compile time):
 plane-{sphere,capsule,box}, sphere-{sphere,capsule,box}, capsule-{capsule,box},
-box-box. Cylinders collide as capsules (documented deviation: the reference
-pile's cylinders are squat and rest on their sides). Box-box uses
-corner-vs-box sampling both ways (8 points) — no edge-edge SAT yet.
+box-box, and every X-hull pair. Cylinders collide as 16-gon prism hulls
+(scene/compile.py:_cylinder_prism_hull) — flat ends and rim edges like
+MuJoCo's true cylinder, ~1% radius faceting error. Box-box generates
+corner-vs-box samples both ways (8 points) plus one edge-edge SAT contact
+for the crossed-edge case corner sampling misses.
 """
 
 from __future__ import annotations
@@ -224,10 +226,58 @@ def box_box(p1, q1, s1, p2, q2, s2):
     # 1, so normal(1->2) = -n; corner of 2 inside 1 -> normal(1->2) = +n
     neg_a, ia = jax.lax.top_k(-d_a, 4)
     neg_b, ib = jax.lax.top_k(-d_b, 4)
-    pos = jnp.concatenate([pos_a[ia], pos_b[ib]])
-    nrm = jnp.concatenate([-n_a[ia], n_b[ib]])
-    dist = jnp.concatenate([-neg_a, -neg_b])
+    pos_e, n_e, d_e = _box_box_edge(p1, R1, s1, p2, R2, s2)
+    pos = jnp.concatenate([pos_a[ia], pos_b[ib], pos_e[None]])
+    nrm = jnp.concatenate([-n_a[ia], n_b[ib], n_e[None]])
+    dist = jnp.concatenate([-neg_a, -neg_b, d_e[None]])
     return pos, nrm, dist
+
+
+def _box_box_edge(p1, R1, s1, p2, R2, s2):
+    """Edge-edge SAT contact (the case corner sampling misses: crossed
+    edges penetrating with no vertex inside either box — e.g. finger-box
+    edge grasps). Evaluates all 15 SAT axes; emits one contact at the
+    closest points of the two supporting edges when (a) no axis separates
+    and (b) the minimum-penetration axis is one of the 9 cross axes.
+    Returns (pos (3,), normal(1->2) (3,), dist ()); dist = BIG when the
+    face cases (already covered by corner sampling) win or boxes separate."""
+    d12 = p2 - p1
+    A = R1.T  # rows = box1 axes in world
+    B = R2.T
+    axes_face = jnp.concatenate([A, B])                      # (6, 3)
+    cross = jnp.cross(A[:, None, :], B[None, :, :]).reshape(9, 3)
+    cnorm = jnp.linalg.norm(cross, axis=1)
+    valid = cnorm > 1e-8                                     # parallel pairs
+    cross_u = cross / jnp.maximum(cnorm, 1e-12)[:, None]
+    axes = jnp.concatenate([axes_face, cross_u])             # (15, 3)
+
+    def overlap(L):
+        proj1 = jnp.abs(A @ L) @ s1
+        proj2 = jnp.abs(B @ L) @ s2
+        return jnp.abs(jnp.dot(d12, L)) - (proj1 + proj2)    # >0 = separated
+
+    sep = jax.vmap(overlap)(axes)
+    sep = jnp.where(jnp.concatenate([jnp.ones(6, bool), valid]), sep, -BIG)
+    separated = jnp.any(sep > 0)
+    pen = -sep                                               # >0 = overlap
+    pen = jnp.where(jnp.concatenate([jnp.zeros(6, bool), ~valid]), BIG, pen)
+    best = jnp.argmin(pen)
+    edge_wins = best >= 6
+    k = jnp.clip(best - 6, 0, 8)
+    i, j = k // 3, k % 3
+    L = cross_u[k]
+    L = L * jnp.sign(jnp.dot(L, d12))                        # point 1 -> 2
+    # supporting edge on box1: runs along A[i]; the other two axes take the
+    # corner signs that push TOWARD box2 (+L side of box1)
+    sg1 = jnp.sign(A @ L)
+    e1_mid = p1 + ((jnp.where(jnp.arange(3) == i, 0.0, sg1) * s1) @ A)
+    sg2 = jnp.sign(B @ L)
+    e2_mid = p2 - ((jnp.where(jnp.arange(3) == j, 0.0, sg2) * s2) @ B)
+    s_, t_ = _segment_closest(e1_mid, A[i], s1[i], e2_mid, B[j], s2[j])
+    a = e1_mid + A[i] * s_
+    b = e2_mid + B[j] * t_
+    dist = jnp.where(separated | ~edge_wins, BIG, -pen[best])
+    return 0.5 * (a + b), L, dist
 
 
 # ---------------------------------------------------------------------------
@@ -288,15 +338,18 @@ def hull_hull(p1, q1, v1, m1, n1, d1, p2, q2, v2, m2, n2, d2):
 
 
 def plane_hull(p1, q1, s1, p2, q2, v2, m2, n2, d2):
+    # 8 deepest vertices: a flat-resting 16-gon prism (cylinder end) needs
+    # its support polygon to contain the center of mass, which 4 tie-broken
+    # adjacent rim vertices do not
     n = quat_rotate(q1, jnp.array([0.0, 0, 1.0], p1.dtype))
     R2 = quat_to_mat(q2)
     vw = p2 + v2 @ R2.T
     dvert = vw @ n - jnp.dot(n, p1)
     dvert = jnp.where(m2 > 0.5, dvert, BIG)
-    neg, idx = jax.lax.top_k(-dvert, 4)
+    neg, idx = jax.lax.top_k(-dvert, 8)
     dist = -neg
     pos = vw[idx] - 0.5 * dist[:, None] * n[None]
-    return pos, jnp.broadcast_to(n, (4, 3)), dist
+    return pos, jnp.broadcast_to(n, (8, 3)), dist
 
 
 def _sphere_hull_point(c, r, nw, dw):
@@ -354,14 +407,14 @@ NARROWPHASE = {
     (GEOM_SPHERE, GEOM_BOX): (sphere_box, 1),
     (GEOM_CAPSULE, GEOM_CAPSULE): (capsule_capsule, 1),
     (GEOM_CAPSULE, GEOM_BOX): (capsule_box, 5),
-    (GEOM_BOX, GEOM_BOX): (box_box, 8),
+    (GEOM_BOX, GEOM_BOX): (box_box, 9),
 }
 
 # hull pairs: geom2 is the mesh (GEOM_MESH is the largest enum, so canonical
 # pair ordering always puts it second); signature gains the hull operand
 # (verts, vmask, fnorm, fdist) after (p2, q2)
 HULL_NARROWPHASE = {
-    (GEOM_PLANE, GEOM_MESH): (plane_hull, 4),
+    (GEOM_PLANE, GEOM_MESH): (plane_hull, 8),
     (GEOM_SPHERE, GEOM_MESH): (sphere_hull, 1),
     (GEOM_CAPSULE, GEOM_MESH): (capsule_hull, 5),
     (GEOM_BOX, GEOM_MESH): (box_hull, 8),
