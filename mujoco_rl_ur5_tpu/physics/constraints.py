@@ -21,6 +21,18 @@ Soft-constraint parameters follow MuJoCo exactly:
 with friction rows regularized 1/impratio as tightly as normal rows
 (UR5gripper_2_finger_many_objects.xml:22 sets impratio=10).
 
+Equality couplings (the finger joint base_to_rik = base_to_lik) and joint
+limits are scalar rows solved JOINTLY with the contacts in the same
+program — required for force balance: the second gripper finger is driven
+ONLY through the equality row, so a decoupled post-pass underestimates
+pinch forces several-fold and drops grasps (fixed in round 2; gated by
+tests/test_grasp_parity.py).
+
+Known deviation: we project onto the exact elliptic (circular) Coulomb
+cone; MuJoCo's default is the pyramidal facet approximation, which can
+generate somewhat larger effective normal forces when friction saturates.
+Grasp outcomes are gated against MuJoCo behaviorally, not force-for-force.
+
 Memory is bounded by selecting the ncon most-penetrating candidate points
 per scenario with a global top-k (the static analogue of nconmax=1500).
 """
@@ -141,6 +153,8 @@ class ContactSet:
     J2: jax.Array        # (K, 6, mtdof)
     geom1: jax.Array     # (K,)
     geom2: jax.Array     # (K,)
+    forces: jax.Array = None  # (K, 6) solved cone impulses (diagnostics;
+                              # filled by constraint_forces)
 
 
 def _tangent_frame(n):
@@ -227,6 +241,57 @@ def _dof_row(t, d):
 # ---------------------------------------------------------------------------
 
 
+def _scalar_rows(model: Model, state: State):
+    """Equality + joint-limit rows as dense (S, nv) Jacobians with their
+    aref/solimp data. These are solved JOINTLY with the contacts: the finger
+    coupling (base_to_rik = base_to_lik) is the only drive path to the
+    second finger, so solving it outside the contact program (round 1's
+    post-pass) underestimated pinch forces ~5x and dropped grasps."""
+    t = model.topo
+    dtype = state.qvel.dtype
+    J_rows, pos_terms, vel_terms, solrefs, solimps, lower_bounded = \
+        [], [], [], [], [], []
+    for e in range(t.neq):
+        d1, d2 = int(t.eq_j1_dof[e]), int(t.eq_j2_dof[e])
+        q1 = state.qpos[t.eq_j1_qadr[e]] - model.qpos0[t.eq_j1_qadr[e]]
+        q2 = state.qpos[t.eq_j2_qadr[e]] - model.qpos0[t.eq_j2_qadr[e]]
+        c = model.eq_poly[e]
+        poly = c[0] + c[1] * q2 + c[2] * q2**2 + c[3] * q2**3 + c[4] * q2**4
+        dpoly = c[1] + 2 * c[2] * q2 + 3 * c[3] * q2**2 + 4 * c[4] * q2**3
+        row = jnp.zeros(t.nv, dtype).at[d1].set(1.0).at[d2].add(-dpoly)
+        J_rows.append(row)
+        pos_terms.append(q1 - poly)
+        vel_terms.append(state.qvel[d1] - dpoly * state.qvel[d2])
+        solrefs.append(model.eq_solref[e])
+        solimps.append(model.eq_solimp[e])
+        lower_bounded.append(False)
+    for l in range(t.nlimit):
+        d = int(t.limit_dof[l])
+        q = state.qpos[t.limit_qadr[l]]
+        lo, hi = model.limit_range[l, 0], model.limit_range[l, 1]
+        for sign, dist in ((1.0, q - lo), (-1.0, hi - q)):
+            row = jnp.zeros(t.nv, dtype).at[d].set(sign)
+            J_rows.append(row)
+            pos_terms.append(jnp.minimum(dist, 0.0))
+            vel_terms.append(sign * state.qvel[d])
+            solrefs.append(model.limit_solref[l])
+            solimps.append(model.limit_solimp[l])
+            lower_bounded.append(True)
+    if not J_rows:
+        return None
+    J = jnp.stack(J_rows)
+    posv = jnp.stack(pos_terms)
+    velv = jnp.stack(vel_terms)
+    solref = jnp.stack(solrefs)
+    solimp = jnp.stack(solimps)
+    lb = np.array(lower_bounded)
+    imp = impedance(solimp, posv)
+    ks, bs = kb_from_solref(solref, solimp[..., 1])
+    aref = -bs * velv - ks * imp * posv
+    act = jnp.where(jnp.asarray(lb), posv < 0.0, True)
+    return J, aref, imp, act, lb
+
+
 def constraint_forces(model: Model, state: State, kin: Kin, chol_m: jax.Array,
                       qacc_smooth: jax.Array, ncon: int, iterations: int):
     """Solve for constraint impulses; returns qfrc_constraint (nv,) and the
@@ -307,6 +372,17 @@ def constraint_forces(model: Model, state: State, kin: Kin, chol_m: jax.Array,
         out = jnp.concatenate([fn_new[:, None], ft * scale[:, None]], axis=1)
         return jnp.where(rowmask[:, :3], out, 0.0)
 
+    # ---- scalar (equality + limit) rows, solved jointly with the contacts
+    srows = _scalar_rows(model, state)
+    if srows is not None:
+        Js, aref_s, imp_s, act_s, lb_s = srows
+        S = Js.shape[0]
+        AinvJsT = jax.vmap(
+            lambda row: _solve_dof(model, chol_m, row))(Js)     # (S, nv)
+        diagAs = jnp.einsum("sv,sv->s", Js, AinvJsT)
+        R_s = (1.0 - imp_s) / imp_s * jnp.maximum(diagAs, 1e-10)
+        b_s = Js @ qacc_smooth - aref_s
+
     # ---- matvec A f over all constraint families
     def scatter_forces(f_con):
         F = jnp.zeros((t.ntree + 1, mt), dtype)
@@ -315,6 +391,11 @@ def constraint_forces(model: Model, state: State, kin: Kin, chol_m: jax.Array,
         F = F.at[con.tree1].add(contrib1)
         F = F.at[con.tree2].add(contrib2)
         return F
+
+    def scatter_scalar(f_s):
+        qfrc_s = Js.T @ f_s                                     # (nv,)
+        return (jnp.zeros((t.ntree + 1, mt), dtype)
+                .at[t.dof_tree, t.dof_treeidx].set(qfrc_s))
 
     def minv_tree(F):
         y = jax.lax.linalg.triangular_solve(
@@ -325,11 +406,19 @@ def constraint_forces(model: Model, state: State, kin: Kin, chol_m: jax.Array,
         )[..., 0]
         return jnp.concatenate([x, jnp.zeros((1, mt), dtype)])
 
-    def matvec(f_con):
-        X = minv_tree(scatter_forces(f_con))
-        return jax.vmap(lambda tr1, J1, tr2, J2: J1 @ X[tr1] + J2 @ X[tr2])(
-            con.tree1, con.J1, con.tree2, con.J2
-        )
+    def matvec_all(f_con, f_s):
+        """Coupled A-matvec over contacts + scalar rows: one M^-1 solve."""
+        F = scatter_forces(f_con)
+        if srows is not None:
+            F = F + scatter_scalar(f_s)
+        X = minv_tree(F)
+        a_con = jax.vmap(
+            lambda tr1, J1, tr2, J2: J1 @ X[tr1] + J2 @ X[tr2])(
+            con.tree1, con.J1, con.tree2, con.J2)
+        if srows is None:
+            return a_con, None
+        xdof = X[: t.ntree][t.dof_tree, t.dof_treeidx]          # (nv,)
+        return a_con, Js @ xdof
 
     # ---- accelerated projected gradient, per-contact *scalar* steps.
     # A scalar-times-identity step per contact commutes with the blockwise
@@ -340,38 +429,72 @@ def constraint_forces(model: Model, state: State, kin: Kin, chol_m: jax.Array,
     # ("mass splitting"): isolated contacts converge in a few iterations,
     # clusters relax jointly with a guaranteed-contractive step — fully
     # parallel, unlike MuJoCo's sequential PGS sweep.
+    # per-tree active-row counts include the scalar rows' dofs so the mass
+    # splitting stays contractive with all families in one program
     deg_tree = (
         jnp.zeros(t.ntree + 1, dtype)
         .at[con.tree1].add(jnp.where(active, 1.0, 0.0))
         .at[con.tree2].add(jnp.where(active, 1.0, 0.0))
-        .at[t.ntree].set(0.0)
     )
+    if srows is not None:
+        # each scalar row touches dofs of exactly one tree: take the tree of
+        # its largest-|J| dof
+        srow_dof = jnp.argmax(jnp.abs(Js), axis=1)
+        srow_tree = jnp.asarray(t.dof_tree)[srow_dof]
+        deg_tree = deg_tree.at[srow_tree].add(
+            jnp.where(act_s, 1.0, 0.0))
+    deg_tree = deg_tree.at[t.ntree].set(0.0)
     deg = jnp.maximum(deg_tree[con.tree1] + deg_tree[con.tree2], 1.0)
     G3 = Gm[:, :3, :3]
     lam3 = jnp.max(jnp.sum(jnp.abs(G3), axis=2) + Rrow[:, :3], axis=1)
     s_c = 1.0 / (deg * jnp.maximum(lam3, 1e-8))
+    if srows is not None:
+        deg_s = jnp.maximum(deg_tree[srow_tree], 1.0)
+        s_s = 1.0 / (deg_s * jnp.maximum(diagAs + R_s, 1e-8))
 
     bm = jnp.where(rowmask, b_con, 0.0)
 
-    def raw_matvec(f):
+    def raw_matvec(f, f_s):
         f = jnp.where(rowmask, f, 0.0)
-        return jnp.where(rowmask, matvec(f) + Rrow * f, 0.0)
+        a_con, a_s = matvec_all(f, f_s)
+        a_con = jnp.where(rowmask, a_con + Rrow * f, 0.0)
+        if srows is not None:
+            a_s = jnp.where(act_s, a_s + R_s * f_s, 0.0)
+        return a_con, a_s
 
     def expand(f3):
         return jnp.concatenate([f3, jnp.zeros((K, 3), dtype)], axis=1)
 
+    def project_s(f_s):
+        f_s = jnp.where(jnp.asarray(lb_s), jnp.maximum(f_s, 0.0), f_s)
+        return jnp.where(act_s, f_s, 0.0)
+
     f0 = jnp.zeros((K, 3), dtype)
+    fs0 = (jnp.zeros((S,), dtype) if srows is not None
+           else jnp.zeros((0,), dtype))
 
     def body(carry, _):
-        f, y, tk = carry
-        g = (raw_matvec(expand(y)) + bm)[:, :3]
+        f, fs, y, ys, tk = carry
+        a_con, a_s = raw_matvec(expand(y), ys)
+        g = (a_con + bm)[:, :3]
         f_new = project3(y - s_c[:, None] * g)
+        if srows is not None:
+            gs = a_s + jnp.where(act_s, b_s, 0.0)
+            fs_new = project_s(ys - s_s * gs)
+        else:
+            fs_new = fs
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * tk * tk))
-        y_new = f_new + ((tk - 1.0) / t_new) * (f_new - f)
-        return (f_new, y_new, t_new), None
+        mom = (tk - 1.0) / t_new
+        y_new = f_new + mom * (f_new - f)
+        ys_new = fs_new + mom * (fs_new - fs) if srows is not None else ys
+        return (f_new, fs_new, y_new, ys_new, t_new), None
 
-    (f3, _, _), _ = jax.lax.scan(body, (f0, f0, jnp.ones((), dtype)), None, length=iterations)
+    (f3, f_s, _, _, _), _ = jax.lax.scan(
+        body, (f0, fs0, f0, fs0, jnp.ones((), dtype)), None,
+        length=iterations)
     f3 = project3(f3)
+    if srows is not None:
+        f_s = project_s(f_s)
 
     # ---- torsional/rolling rows (condim 4/6): one-shot decoupled solve given
     # the translational forces, clamped to their (tiny) cone bounds
@@ -380,7 +503,7 @@ def constraint_forces(model: Model, state: State, kin: Kin, chol_m: jax.Array,
     # rows is negligible at these coefficients; tangential friction (the
     # dominant grasp physics) is handled exactly above.
     fA = expand(f3)
-    Af = raw_matvec(fA)
+    Af, _ = raw_matvec(fA, f_s)
     mu_rot = jnp.stack(
         [con.friction[:, 1], con.friction[:, 2], con.friction[:, 2]], axis=1
     )
@@ -392,11 +515,9 @@ def constraint_forces(model: Model, state: State, kin: Kin, chol_m: jax.Array,
 
     qfrc_tree = scatter_forces(f_con)[: t.ntree]
     qfrc = qfrc_tree[t.dof_tree, t.dof_treeidx]
-
-    # ---- equality rows (joint couplings, e.g. the finger joint
-    # base_to_rik = base_to_lik, UR5gripper_2_finger.xml:333) and joint limits,
-    # solved with a few extra Jacobi sweeps on top of contact forces
-    qfrc = qfrc + _joint_space_rows(model, state, chol_m, qacc_smooth + _solve_dof(model, chol_m, qfrc))
+    if srows is not None:
+        qfrc = qfrc + Js.T @ f_s
+    con = con.replace(forces=f_con)
     return qfrc, con
 
 
@@ -406,78 +527,3 @@ def _solve_dof(model: Model, chol_m, qfrc):
     return solve_blocks(model, chol_m, qfrc)
 
 
-def _joint_space_rows(model: Model, state: State, chol_m, qacc_cur):
-    """Equality + limit constraint forces (scalar dof rows, direct solve).
-
-    These rows are few (1 equality + 16 limit rows in the reference scenes)
-    and touch single dofs; each row's Delassus scalar is exact, and rows on
-    distinct dofs of the same tree interact weakly — a few Jacobi sweeps
-    suffice (they are also re-linearized every 2 ms step).
-    """
-    t = model.topo
-    dtype = state.qvel.dtype
-    if t.neq == 0 and t.nlimit == 0:
-        return jnp.zeros(t.nv, dtype)
-
-    from mujoco_rl_ur5_tpu.physics.dynamics import solve_blocks
-
-    J_rows = []
-    pos_terms = []
-    vel_terms = []
-    solrefs = []
-    solimps = []
-    lower_bounded = []
-    for e in range(t.neq):
-        d1, d2 = int(t.eq_j1_dof[e]), int(t.eq_j2_dof[e])
-        q1 = state.qpos[t.eq_j1_qadr[e]] - model.qpos0[t.eq_j1_qadr[e]]
-        q2 = state.qpos[t.eq_j2_qadr[e]] - model.qpos0[t.eq_j2_qadr[e]]
-        c = model.eq_poly[e]
-        poly = c[0] + c[1] * q2 + c[2] * q2**2 + c[3] * q2**3 + c[4] * q2**4
-        dpoly = c[1] + 2 * c[2] * q2 + 3 * c[3] * q2**2 + 4 * c[4] * q2**3
-        row = jnp.zeros(t.nv, dtype).at[d1].set(1.0).at[d2].add(-dpoly)
-        J_rows.append(row)
-        pos_terms.append(q1 - poly)
-        vel_terms.append(state.qvel[d1] - dpoly * state.qvel[d2])
-        solrefs.append(model.eq_solref[e])
-        solimps.append(model.eq_solimp[e])
-        lower_bounded.append(False)
-    # limit rows (lower, upper) per limited dof
-    for l in range(t.nlimit):
-        d = int(t.limit_dof[l])
-        q = state.qpos[t.limit_qadr[l]]
-        lo, hi = model.limit_range[l, 0], model.limit_range[l, 1]
-        for sign, dist in ((1.0, q - lo), (-1.0, hi - q)):
-            row = jnp.zeros(t.nv, dtype).at[d].set(sign)
-            J_rows.append(row)
-            pos_terms.append(jnp.minimum(dist, 0.0))  # active only on violation
-            vel_terms.append(sign * state.qvel[d])
-            solrefs.append(model.limit_solref[l])
-            solimps.append(model.limit_solimp[l])
-            lower_bounded.append(True)
-
-    J = jnp.stack(J_rows)                    # (nrow, nv)
-    posv = jnp.stack(pos_terms)
-    velv = jnp.stack(vel_terms)
-    solref = jnp.stack(solrefs)
-    solimp = jnp.stack(solimps)
-    lb = np.array(lower_bounded)
-
-    imp = impedance(solimp, posv)
-    ks, bs = kb_from_solref(solref, solimp[..., 1])
-    aref = -bs * velv - ks * imp * posv
-    act_dyn = jnp.where(jnp.asarray(lb), posv < 0.0, True)
-
-    # Delassus for these rows: A = J M^-1 J^T via block solves
-    AinvJT = jax.vmap(lambda row: solve_blocks(model, chol_m, row))(J)  # (nrow, nv)
-    A = J @ AinvJT.T
-    diagA = jnp.diagonal(A)
-    Rr = (1.0 - imp) / imp * jnp.maximum(diagA, 1e-10)
-    b = J @ qacc_cur - aref
-
-    f = jnp.zeros(len(lb), dtype)
-    for _ in range(10):
-        grad = A @ f + Rr * f + b
-        f = f - grad / (diagA + Rr)
-        f = jnp.where(jnp.asarray(lb), jnp.maximum(f, 0.0), f)
-        f = jnp.where(act_dyn, f, 0.0)
-    return J.T @ f
