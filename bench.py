@@ -52,9 +52,9 @@ def bench_dynamics(model, quick: bool):
     from mujoco_rl_ur5_tpu.physics import dynamics
     from mujoco_rl_ur5_tpu.scene import make_state
 
-    K = 50 if quick else 200
     out = {}
     for B in ([256] if quick else [256, 1024, 4096]):
+        K = 50 if (quick or B >= 4096) else 200
         state = make_state(model, (B,))
         # randomize qvel slightly so contacts are active
         state = state.replace(
@@ -113,7 +113,7 @@ def bench_env(model, quick: bool):
     pick-&-place (the ~6k-step phase machine) per scenario."""
     from mujoco_rl_ur5_tpu.env import GraspEnv
 
-    B = 8 if quick else 64
+    B = 8 if quick else 16
     scale = 0.1 if quick else 1.0
     env = GraspEnv(model, ncon=128, iterations=30, image_width=200,
                    image_height=200, budget_scale=scale)
@@ -139,7 +139,7 @@ def bench_env(model, quick: bool):
     jax.block_until_ready(step(es, actions))
     log(f"env.step B={B}: compile+1st run {time.perf_counter()-t0:.1f}s")
     dt_step = timed(lambda e, a: jax.block_until_ready(step(e, a)),
-                    es, actions, warmup=0, iters=2)
+                    es, actions, warmup=0, iters=1)
     log(f"env: reset {B/dt_reset:,.1f}/s, full pick-&-place "
         f"{B/dt_step:,.2f}/s (B={B}, scale={scale})")
     return {

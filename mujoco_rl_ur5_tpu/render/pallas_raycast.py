@@ -166,6 +166,8 @@ def _kernel(gtype_ref, par_ref, face_ref, dx_ref, dy_ref, dz_ref,
             return s, nx_, ny_, nz_
 
         def hull(_):
+            # NOTE: all loop carries are f32 vectors — Mosaic cannot
+            # legalize vector<i1> carries in scf.for (out_par is 0/1 f32)
             def face_body(f, c):
                 t_in, t_out, out_par, bnx, bny, bnz = c
                 fr = face_ref[g, f, :]
@@ -173,8 +175,7 @@ def _kernel(gtype_ref, par_ref, face_ref, dx_ref, dy_ref, dz_ref,
                 nd = fnx * dlx + fny * dly + fnz * dlz
                 no = fnx * ox + fny * oy + fnz * oz
                 t = jnp.where(jnp.abs(nd) > 1e-12, (fd - no) / nd, 0.0)
-                entering = nd < -1e-12
-                t_ent = jnp.where(entering, t, -BIG)
+                t_ent = jnp.where(nd < -1e-12, t, -BIG)
                 better = t_ent > t_in
                 bnx = jnp.where(better, fnx, bnx)
                 bny = jnp.where(better, fny, bny)
@@ -182,15 +183,17 @@ def _kernel(gtype_ref, par_ref, face_ref, dx_ref, dy_ref, dz_ref,
                 t_in = jnp.maximum(t_in, t_ent)
                 t_out = jnp.minimum(t_out,
                                     jnp.where(nd > 1e-12, t, BIG))
-                out_par = out_par | ((jnp.abs(nd) <= 1e-12) & (no > fd))
+                out_par = jnp.maximum(
+                    out_par,
+                    jnp.where((jnp.abs(nd) <= 1e-12) & (no > fd), 1.0, 0.0))
                 return t_in, t_out, out_par, bnx, bny, bnz
 
             z = jnp.zeros_like(dlx)
             t_in, t_out, out_par, bnx, bny, bnz = jax.lax.fori_loop(
                 0, nface, face_body,
                 (jnp.full_like(dlx, -BIG), jnp.full_like(dlx, BIG),
-                 jnp.zeros_like(dlx, bool), z, z, z))
-            hit = (t_in <= t_out) & (t_in > 0) & ~out_par
+                 z, z, z, z))
+            hit = (t_in <= t_out) & (t_in > 0) & (out_par < 0.5)
             s = jnp.where(hit, t_in, BIG)
             return s, bnx, bny, bnz
 
