@@ -76,6 +76,7 @@ class GrasperEnv(gymnasium.Env):
         self.current_observation = None
         self.grasp_captures: list[np.ndarray] = []
         self._side_cam = None
+        self._markers: list = []
 
     # -- gymnasium API ----------------------------------------------------------
 
@@ -125,6 +126,35 @@ class GrasperEnv(gymnasium.Env):
                 lambda q: render_rgbd(self.model, fk(self.model, q), cam))
         rgb, _ = self._side_render(self._es.sim.qpos)
         return np.asarray(rgb)
+
+    def add_marker(self, position, label: str = "", size: float = 3,
+                   color=(1.0, 0.0, 0.0)):
+        """Mark a world position in subsequent rendered frames
+        (MJ_Controller.add_marker, MujocoController.py:808-826: the
+        reference drew viewer markers; headless, we draw a crosshair into
+        the RGB observation at the point's top_down projection)."""
+        self._markers.append((np.asarray(position, np.float64), label,
+                              int(size), tuple(color)))
+
+    def clear_markers(self):
+        self._markers.clear()
+
+    def render_with_markers(self) -> np.ndarray:
+        """Current RGB observation with all markers drawn."""
+        from mujoco_rl_ur5_tpu.render import world_2_pixel
+
+        rgb = np.asarray(self._es.rgb).copy()
+        H, W = rgb.shape[:2]
+        for pos, _, size, color in self._markers:
+            px, py = world_2_pixel(self.core.cam, jnp.asarray(pos))
+            # observation images are flipped [::-1, ::-1] (reference flips)
+            x = W - 1 - int(px)
+            y = H - 1 - int(py)
+            if 0 <= x < W and 0 <= y < H:
+                c = (np.asarray(color) * 255).astype(np.uint8)
+                rgb[max(0, y - size):y + size + 1, x] = c
+                rgb[y, max(0, x - size):x + size + 1] = c
+        return rgb
 
     def print_info(self):
         """GraspingEnv.py:483-489."""
