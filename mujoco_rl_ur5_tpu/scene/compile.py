@@ -145,6 +145,31 @@ def _body_inertial(body: BodySpec, meshes, inertiafromgeom: bool):
 # ---------------------------------------------------------------------------
 
 
+def _geom_rbounds(col_type, col_size, geom_meshid, hull_verts, hull_vmask):
+    """Bounding-sphere radius per geom about its (collision) frame origin —
+    the conservative broadphase bound used to prune far pairs
+    (physics/constraints.collide). Planes get +inf (never pruned)."""
+    ngeom = len(col_type)
+    rb = np.zeros(ngeom)
+    for gi in range(ngeom):
+        ty, s = int(col_type[gi]), col_size[gi]
+        if ty == GEOM_PLANE:
+            rb[gi] = 1e10
+        elif ty == GEOM_SPHERE:
+            rb[gi] = s[0]
+        elif ty == GEOM_CAPSULE:
+            rb[gi] = s[0] + s[1]
+        elif ty == GEOM_BOX:
+            rb[gi] = float(np.linalg.norm(s))
+        elif ty == GEOM_MESH:
+            mid = int(geom_meshid[gi])
+            vn = np.linalg.norm(hull_verts[mid], axis=1)
+            rb[gi] = float((vn * hull_vmask[mid]).max())
+        else:
+            rb[gi] = float(np.linalg.norm(s)) + 1e-3
+    return rb
+
+
 def _cylinder_prism_hull(r: float, hl: float, nseg: int = 16):
     """Convex prism hull for a cylinder (radius r, half-length hl): 2*nseg
     rim vertices on the TRUE radius (exact rim contacts) + nseg side
@@ -566,6 +591,8 @@ def compile_spec(spec: SceneSpec, dtype=np.float32) -> Model:
         geom_condim=jnp.asarray(g_condim),
         col_type=jnp.asarray(col_type), col_size=jp(col_size),
         col_pos=jp(col_pos), col_quat=jp(col_quat),
+        geom_rbound=jp(_geom_rbounds(col_type, col_size, geom_meshid,
+                                     hull_verts, hull_vmask)),
         hull_verts=jp(hull_verts), hull_vmask=jp(hull_vmask),
         hull_fnorm=jp(hull_fnorm), hull_fdist=jp(hull_fdist),
         act_gear=jp(act_gear), act_ctrlrange=jp(act_ctrlrange),

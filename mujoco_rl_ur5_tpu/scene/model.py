@@ -145,6 +145,8 @@ class Model:
     geom_quat: jax.Array = None      # (ngeom, 4)
     geom_size: jax.Array = None      # (ngeom, 3)
     geom_rgba: jax.Array = None      # (ngeom, 4)
+    geom_rbound: jax.Array = None    # (ngeom,) bounding-sphere radius
+                                     # (broadphase; planes = +inf)
     geom_friction: jax.Array = None  # (ngeom, 3)
     geom_margin: jax.Array = None    # (ngeom,)
     geom_solref: jax.Array = None    # (ngeom, 2)
