@@ -28,8 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from mujoco_rl_ur5_tpu.mpc.ilqr import ILQRResult, ilqr
-from mujoco_rl_ur5_tpu.physics import dynamics
-from mujoco_rl_ur5_tpu.physics.kinematics import fk
+from mujoco_rl_ur5_tpu.physics.chain import (
+    chain_body_pos, chain_hold_ctrl, chain_step, make_chain_plan,
+)
 from mujoco_rl_ur5_tpu.scene.model import Model, State
 from mujoco_rl_ur5_tpu.scene.reduce import load_arm_model
 
@@ -54,7 +55,8 @@ class GraspMPC:
 
     def __init__(self, model: Model, horizon: int = 64, substeps: int = 8,
                  iters: int = 6, weights: MPCWeights = MPCWeights(),
-                 arm_model: Optional[Model] = None, parallel: bool = True):
+                 arm_model: Optional[Model] = None, parallel: bool = True,
+                 lin_chunks: int = 8):
         """``model`` may be the FULL scene model (for index mapping from env
         states); planning runs on ``arm_model`` (auto-reduced when the full
         model still contains free bodies is not possible from a compiled
@@ -71,6 +73,8 @@ class GraspMPC:
         self.iters = iters
         self.w = weights
         self.parallel = parallel
+        # sequential linearization chunks (memory cap at large B; ilqr docstring)
+        self.lin_chunks = lin_chunks if horizon % lin_chunks == 0 else 1
         self.nq = t.nq
         self.nu = t.nu
         self.nx = 2 * t.nq
@@ -86,6 +90,9 @@ class GraspMPC:
             [0.0, -1.57, 1.57, -1.57, -1.57, 0.0, 0.0, 0.0])[: self.nq]
         self.u_lo = np.asarray(self.arm.act_ctrlrange[:, 0])
         self.u_hi = np.asarray(self.arm.act_ctrlrange[:, 1])
+        # straight-line unrolled dynamics for the solve hot path
+        # (physics/chain.py; parity-gated vs dynamics.step in tests)
+        self.plan = make_chain_plan(self.arm)
 
     @classmethod
     def from_scene(cls, path: str, **kw) -> "GraspMPC":
@@ -96,33 +103,24 @@ class GraspMPC:
     # -- dynamics ------------------------------------------------------------
 
     def dyn_step(self, x: jax.Array, u: jax.Array) -> jax.Array:
-        """One MPC knot = `substeps` smooth physics steps of the arm."""
-        st = State(qpos=x[: self.nq], qvel=x[self.nq:], ctrl=u,
-                   time=jnp.zeros((), x.dtype))
-
-        def sub(st, _):
-            return dynamics.step(self.arm, st, ncon=0), None
-
-        st, _ = jax.lax.scan(sub, st, None, length=self.substeps)
-        return jnp.concatenate([st.qpos, st.qvel])
+        """One MPC knot = `substeps` smooth physics steps of the arm
+        (unrolled straight-line chain dynamics, physics/chain.py)."""
+        q, v = x[: self.nq], x[self.nq:]
+        for _ in range(self.substeps):
+            q, v = chain_step(self.plan, q, v, u)
+        return jnp.concatenate([q, v])
 
     def ee_pos(self, qpos: jax.Array) -> jax.Array:
         """Differentiable grasp-center world position."""
-        kin = fk(self.arm, qpos)
-        return kin.xpos[self.ee_body] - jnp.asarray(EE_OFFSET, qpos.dtype)
+        p = chain_body_pos(self.plan, qpos, self.ee_body)
+        return p - jnp.asarray(EE_OFFSET, qpos.dtype)
 
     def hold_ctrl(self, qpos: jax.Array) -> jax.Array:
         """Gravity-compensation controls at rest: ctrl = qfrc_bias / gear,
         clipped to the actuator range. Used as the iLQR warm start so the
         nominal trajectory holds the arm instead of free-falling (a far
         better-conditioned linearization point)."""
-        kin = fk(self.arm, qpos)
-        cinert = dynamics.com_inertia(self.arm, kin)
-        bias = dynamics.rne_bias(self.arm, kin, cinert,
-                                 jnp.zeros((self.arm.topo.nv,), qpos.dtype))
-        u = bias[self.arm.topo.act_dofadr] / self.arm.act_gear
-        return jnp.clip(u, jnp.asarray(self.u_lo, qpos.dtype),
-                        jnp.asarray(self.u_hi, qpos.dtype))
+        return chain_hold_ctrl(self.plan, qpos)
 
     # -- state extraction ------------------------------------------------------
 
@@ -179,7 +177,8 @@ class GraspMPC:
         targets = jnp.tile(target[None], (self.H, 1))
         return ilqr(self.dyn_step, self._reach_stage, self._reach_term,
                     x0, u_init, targets, target, iters=self.iters,
-                    parallel=self.parallel, u_lo=self.u_lo, u_hi=self.u_hi)
+                    parallel=self.parallel, u_lo=self.u_lo, u_hi=self.u_hi,
+                    lin_chunks=self.lin_chunks)
 
     @partial(jax.jit, static_argnums=0)
     def solve_batch(self, state: State, targets: jax.Array) -> ILQRResult:
@@ -201,4 +200,5 @@ class GraspMPC:
         refs = (q_refs[:-1], qd_refs[:-1])
         return ilqr(self.dyn_step, self._track_stage, self._track_term,
                     x0, u_init, refs, term_ref, iters=self.iters,
-                    parallel=self.parallel, u_lo=self.u_lo, u_hi=self.u_hi)
+                    parallel=self.parallel, u_lo=self.u_lo, u_hi=self.u_hi,
+                    lin_chunks=self.lin_chunks)

@@ -53,13 +53,23 @@ def ilqr(
     parallel: bool = True,
     u_lo=None,
     u_hi=None,
+    lin_chunks: int = 1,
 ) -> ILQRResult:
     """Solve one trajectory-optimization problem. jit/vmap-safe; all loop
-    bounds static."""
+    bounds static.
+
+    ``lin_chunks`` splits the horizon-wide linearization into that many
+    sequential `lax.map` chunks: the jacfwd tangents of the dynamics
+    materialize O(H * nx * sizeof(dynamics intermediates)) at once, which
+    at B=4096 x H=64 overflows HBM; chunking divides the peak by the chunk
+    count while keeping each chunk wide enough (B x H/chunks x nx tangents)
+    to saturate the chip."""
     H, nu = u_init.shape
     nx = x0.shape[0]
     backward = backward_parallel if parallel else backward_sequential
     alphas = jnp.asarray(alphas, x0.dtype)
+    if H % lin_chunks:
+        raise ValueError(f"lin_chunks={lin_chunks} must divide H={H}")
 
     def open_loop(x0, us):
         def step(x, u):
@@ -81,9 +91,17 @@ def ilqr(
         U = jax.hessian(cost_fn, argnums=1)(x, u, ref)
         return X, q, U, r
 
+    def lin_all(xs_k, us_k):
+        if lin_chunks == 1:
+            return jax.vmap(lin_dyn)(xs_k, us_k)
+        xc = xs_k.reshape(lin_chunks, H // lin_chunks, nx)
+        uc = us_k.reshape(lin_chunks, H // lin_chunks, nu)
+        F, L = jax.lax.map(lambda ab: jax.vmap(lin_dyn)(*ab), (xc, uc))
+        return F.reshape(H, nx, nx), L.reshape(H, nx, nu)
+
     def iteration(carry, _):
         xs, us, cost = carry
-        F, L = jax.vmap(lin_dyn)(xs[:-1], us)
+        F, L = lin_all(xs[:-1], us)
         X, q, U, r = jax.vmap(quad_cost)(xs[:-1], us, refs)
         XH = jax.hessian(term_cost_fn, argnums=0)(xs[-1], term_ref)
         qH = jax.grad(term_cost_fn, argnums=0)(xs[-1], term_ref)
@@ -113,7 +131,7 @@ def ilqr(
         iteration, (xs0, u_init, cost0), None, length=iters)
 
     # final policy around the converged trajectory (for MPC execution)
-    F, L = jax.vmap(lin_dyn)(xs[:-1], us)
+    F, L = lin_all(xs[:-1], us)
     X, q, U, r = jax.vmap(quad_cost)(xs[:-1], us, refs)
     XH = jax.hessian(term_cost_fn, argnums=0)(xs[-1], term_ref)
     qH = jax.grad(term_cost_fn, argnums=0)(xs[-1], term_ref)

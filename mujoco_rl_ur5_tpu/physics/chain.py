@@ -1,0 +1,338 @@
+"""Specialized all-hinge chain dynamics for the MPC hot path.
+
+The generic tree pipeline (physics/dynamics.py) handles every scene the
+compiler can produce — free-floating piles, ball joints, padded tree blocks —
+at the cost of gather/scatter/mask machinery on every step. Inside the MPC
+solve (mpc/grasp_mpc.py) that generality is waste: the planning model is a
+fixed-base arm+gripper tree of <= ~16 hinge dofs (scene/reduce.py), stepped
+thousands of times sequentially per solve (rollouts) and differentiated with
+24-wide jacfwd tangents per knot (linearization). This module is the same
+physics — MuJoCo-convention CRBA + RNE + implicit-damping semi-implicit
+Euler, parity-gated against `dynamics.step` — re-expressed as STRAIGHT-LINE
+code for a static chain:
+
+  * the kinematic recursion is unrolled over the ~12 moving bodies at trace
+    time: no levels, no scatters, no joint-type masks — XLA sees a flat
+    chain of fused elementwise ops and tiny (3,3) matmuls;
+  * all topology-dependent reductions (composite inertias, mass-matrix
+    sparsity, ancestor velocity sums) are baked into small constant 0/1
+    matrices, so CRBA/RNE become a handful of dense einsums that batch
+    perfectly under vmap/jacfwd;
+  * model constants (body poses, inertias, joint axes) are snapshotted to
+    numpy at plan build — they fold into the compiled program instead of
+    being gathered from device arrays each step. (Rebuild the plan if the
+    arm model's numeric parameters change.)
+
+Measured effect (TPU v5e, B=256): generic `dynamics.step` on the arm
+submodel costs ~0.42 ms/step inside a scan; this path is the difference
+between 13 grasp-MPC solves/s and the thousands/s the north-star metric
+(BASELINE.md) asks for.
+
+Replaces the same reference boundary as dynamics.py: the `sim.step()` /
+PID hot loop in /root/reference/gym_grasper/controller/MujocoController.py:
+318-384, restricted to the arm the reference's planner also treats as
+object-free (MujocoController.py:446-517).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_rl_ur5_tpu.scene.mjcf import JNT_HINGE
+from mujoco_rl_ur5_tpu.scene.model import Model
+
+
+@dataclass(eq=False)  # identity hash -> usable as a static jit argument
+class ChainPlan:
+    """Static unrolled-chain schedule + baked numeric constants (numpy)."""
+
+    nv: int
+    nu: int
+    nmov: int
+    body_ids: np.ndarray        # (nmov,) compiled-model body id per slot
+    parent_slot: np.ndarray     # (nmov,) parent slot, -1 = static parent
+    parent_pose: np.ndarray     # (nmov, 3+9) static-parent world pos+rot
+                                #  (only read where parent_slot == -1)
+    body_pos: np.ndarray        # (nmov, 3) frame offset in parent
+    body_rot: np.ndarray        # (nmov, 3, 3)
+    jnt_dof: np.ndarray         # (nmov,) dof index of this body's hinge, -1
+    jnt_pos: np.ndarray         # (nmov, 3) local joint anchor
+    jnt_axis: np.ndarray        # (nmov, 3) local joint axis (unit)
+    jnt_ref: np.ndarray         # (nmov,)
+    dof_slot: np.ndarray        # (nv,) body slot per dof
+    dof_parent_slot: np.ndarray  # (nv,) parent slot of the dof's body
+    qadr: np.ndarray            # (nv,) qpos address per dof
+    ipos: np.ndarray            # (nmov, 3)
+    irot: np.ndarray            # (nmov, 3, 3) principal-axes rotation
+    idiag: np.ndarray           # (nmov, 3)
+    mass: np.ndarray            # (nmov,)
+    damping: np.ndarray         # (nv,)
+    armature: np.ndarray        # (nv,)
+    act_dof: np.ndarray         # (nu,)
+    gear: np.ndarray            # (nu,)
+    ctrlrange: np.ndarray       # (nu, 2)
+    org: np.ndarray             # (3,) spatial origin (root body rest pos)
+    sub_body: np.ndarray        # (nmov, nmov) 1.0: col-body in subtree of row
+    anc_dof: np.ndarray         # (nmov, nv) 1.0: dof moves this body
+    dof_sub_body: np.ndarray    # (nv, nmov) 1.0: body in subtree of dof's body
+    m_mask: np.ndarray          # (nv, nv) 1.0: dof j ancestor-or-self of dof i
+    act_mat: np.ndarray         # (nv, nu) scatter matrix dofs<-actuators
+    timestep: float
+    gravity: np.ndarray         # (3,)
+
+
+def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def make_chain_plan(model: Model) -> ChainPlan:
+    """Build the static plan; raises ValueError for non-chain models
+    (any non-hinge joint, or >1 joint on a body)."""
+    t = model.topo
+    if t.njnt == 0 or np.any(t.jnt_type != JNT_HINGE):
+        raise ValueError("chain dynamics requires an all-hinge model")
+    if np.any(t.body_jntnum > 1):
+        raise ValueError("chain dynamics requires <= 1 joint per body")
+
+    mov = np.nonzero(t.body_tree >= 0)[0]
+    mov = np.array(sorted(mov))          # compiler ids are topological
+    slot_of = {int(b): i for i, b in enumerate(mov)}
+    nmov, nv, nu = len(mov), t.nv, t.nu
+
+    m = lambda a: np.asarray(a, np.float64)
+    body_pos = m(model.body_pos)[mov]
+    body_rot = np.stack([_quat_to_mat_np(q) for q in m(model.body_quat)[mov]])
+
+    parent_slot = np.full(nmov, -1, np.int64)
+    parent_pose = np.zeros((nmov, 12))
+    for i, b in enumerate(mov):
+        p = int(t.body_parent[b])
+        if p in slot_of:
+            parent_slot[i] = slot_of[p]
+        else:
+            parent_pose[i, :3] = t.xpos0[p]
+            parent_pose[i, 3:] = _quat_to_mat_np(t.xquat0[p]).reshape(-1)
+
+    jnt_dof = np.full(nmov, -1, np.int64)
+    jnt_pos = np.zeros((nmov, 3))
+    jnt_axis = np.zeros((nmov, 3))
+    jnt_ref = np.zeros(nmov)
+    dof_slot = np.zeros(nv, np.int64)
+    dof_parent_slot = np.zeros(nv, np.int64)
+    for j in range(t.njnt):
+        s = slot_of[int(t.jnt_body[j])]
+        d = int(t.jnt_dofadr[j])
+        jnt_dof[s] = d
+        jnt_pos[s] = m(model.jnt_pos)[j]
+        jnt_axis[s] = m(model.jnt_axis)[j]
+        jnt_ref[s] = float(np.asarray(model.jnt_ref)[j])
+        dof_slot[d] = s
+        dof_parent_slot[d] = parent_slot[s]
+
+    # ancestor closure over slots
+    anc = np.zeros((nmov, nmov), bool)   # anc[s, a]: a is ancestor-or-self
+    for i in range(nmov):
+        s = i
+        while s >= 0:
+            anc[i, s] = True
+            s = int(parent_slot[s])
+    sub_body = anc.T.astype(np.float64)            # sub[s, b]: b in subtree
+    anc_dof = np.zeros((nmov, nv))
+    for s in range(nmov):
+        for d in range(nv):
+            if anc[s, dof_slot[d]]:
+                anc_dof[s, d] = 1.0
+    dof_sub_body = sub_body[dof_slot]              # (nv, nmov)
+    m_mask = np.zeros((nv, nv))
+    for i in range(nv):
+        for j in range(nv):
+            if anc[dof_slot[i], dof_slot[j]]:
+                m_mask[i, j] = 1.0
+    act_mat = np.zeros((nv, nu))
+    act_mat[np.asarray(t.act_dofadr), np.arange(nu)] = 1.0
+
+    root = int(t.tree_rootbody[0])
+    return ChainPlan(
+        nv=nv, nu=nu, nmov=nmov, body_ids=mov, parent_slot=parent_slot,
+        parent_pose=parent_pose, body_pos=body_pos, body_rot=body_rot,
+        jnt_dof=jnt_dof, jnt_pos=jnt_pos, jnt_axis=jnt_axis, jnt_ref=jnt_ref,
+        dof_slot=dof_slot, dof_parent_slot=dof_parent_slot,
+        qadr=np.asarray(t.jnt_qposadr)[np.argsort(t.jnt_dofadr)],
+        ipos=m(model.body_ipos)[mov],
+        irot=np.stack([_quat_to_mat_np(q) for q in m(model.body_iquat)[mov]]),
+        idiag=m(model.body_inertia)[mov], mass=m(model.body_mass)[mov],
+        damping=m(model.dof_damping), armature=m(model.dof_armature),
+        act_dof=np.asarray(t.act_dofadr), gear=m(model.act_gear),
+        ctrlrange=m(model.act_ctrlrange), org=np.array(t.xpos0[root]),
+        sub_body=sub_body, anc_dof=anc_dof, dof_sub_body=dof_sub_body,
+        m_mask=m_mask, act_mat=act_mat, timestep=float(t.timestep),
+        gravity=np.asarray(t.gravity, np.float64),
+    )
+
+
+def _rodrigues(axis: np.ndarray, c, s):
+    """Rotation matrix about a CONSTANT unit axis with traced cos/sin.
+    R = c I + s [axis]_x + (1-c) axis axis^T — affine in (c, s)."""
+    K = np.array([[0.0, -axis[2], axis[1]],
+                  [axis[2], 0.0, -axis[0]],
+                  [-axis[1], axis[0], 0.0]])
+    aa = np.outer(axis, axis)
+    eye = np.eye(3)
+    return (c[..., None, None] * jnp.asarray(eye - aa, c.dtype)
+            + s[..., None, None] * jnp.asarray(K, c.dtype)
+            + jnp.asarray(aa, c.dtype))
+
+
+def chain_fk(plan: ChainPlan, qpos: jax.Array):
+    """Unrolled FK. Returns (xpos (nmov,3), xrot (nmov,3,3),
+    anchor (nv,3), axis_w (nv,3)) — single scenario; vmap for batches."""
+    f = qpos.dtype
+    xpos, xrot = [], []
+    anchor = [None] * plan.nv
+    axis_w = [None] * plan.nv
+    for i in range(plan.nmov):
+        ps = int(plan.parent_slot[i])
+        if ps >= 0:
+            pp, pr = xpos[ps], xrot[ps]
+            p_pre = pp + pr @ jnp.asarray(plan.body_pos[i], f)
+            r_pre = pr @ jnp.asarray(plan.body_rot[i], f)
+        else:
+            # static parent: the whole pre-joint frame is a constant
+            pr0 = plan.parent_pose[i, 3:].reshape(3, 3)
+            p_pre = jnp.asarray(
+                plan.parent_pose[i, :3] + pr0 @ plan.body_pos[i], f)
+            r_pre = jnp.asarray(pr0 @ plan.body_rot[i], f)
+        d = int(plan.jnt_dof[i])
+        if d >= 0:
+            th = qpos[int(plan.qadr[d])] - plan.jnt_ref[i]
+            c, s = jnp.cos(th), jnp.sin(th)
+            rj = _rodrigues(plan.jnt_axis[i], c, s)
+            jp = jnp.asarray(plan.jnt_pos[i], f)
+            anchor[d] = p_pre + r_pre @ jp
+            p = p_pre + r_pre @ (jp - rj @ jp)
+            r = r_pre @ rj
+            axis_w[d] = r @ jnp.asarray(plan.jnt_axis[i], f)
+        else:
+            p, r = p_pre, r_pre
+        xpos.append(p)
+        xrot.append(r)
+    return (jnp.stack(xpos), jnp.stack(xrot),
+            jnp.stack(anchor), jnp.stack(axis_w))
+
+
+def chain_body_pos(plan: ChainPlan, qpos: jax.Array, body_id: int) -> jax.Array:
+    """World position of one body frame (e.g. ee_link) — differentiable."""
+    slot = int(np.nonzero(plan.body_ids == body_id)[0][0])
+    xpos, _, _, _ = chain_fk(plan, qpos)
+    return xpos[slot]
+
+
+def _cdof_cinert(plan: ChainPlan, qpos: jax.Array):
+    f = qpos.dtype
+    xpos, xrot, anchor, ax = chain_fk(plan, qpos)
+    org = jnp.asarray(plan.org, f)
+    cdof = jnp.concatenate([ax, jnp.cross(anchor - org, ax)], -1)   # (nv, 6)
+
+    # 10-parameter spatial inertia of each body about org
+    ri = xrot @ jnp.asarray(plan.irot, f)                  # (nmov,3,3)
+    icom = ri * jnp.asarray(plan.idiag, f)[:, None, :] @ jnp.swapaxes(ri, -1, -2)
+    com = xpos + (xrot @ jnp.asarray(plan.ipos, f)[..., None])[..., 0]
+    c = com - org
+    mass = jnp.asarray(plan.mass, f)
+    cc = c[:, :, None] * c[:, None, :]
+    c2 = jnp.sum(c * c, -1)[:, None, None]
+    iorg = icom + mass[:, None, None] * (c2 * jnp.eye(3, dtype=f) - cc)
+    cinert = jnp.concatenate([
+        mass[:, None], mass[:, None] * c,
+        iorg[:, 0, 0, None], iorg[:, 1, 1, None], iorg[:, 2, 2, None],
+        iorg[:, 0, 1, None], iorg[:, 0, 2, None], iorg[:, 1, 2, None],
+    ], -1)                                                  # (nmov, 10)
+    return cdof, cinert
+
+
+def _imul(inert, v):
+    """inertia_mul for stacked (…,10) x (…,6) (local copy keeps fusion tight)."""
+    mass, h = inert[..., 0:1], inert[..., 1:4]
+    w, vl = v[..., :3], v[..., 3:]
+    iw = jnp.stack([
+        inert[..., 4] * w[..., 0] + inert[..., 7] * w[..., 1] + inert[..., 8] * w[..., 2],
+        inert[..., 7] * w[..., 0] + inert[..., 5] * w[..., 1] + inert[..., 9] * w[..., 2],
+        inert[..., 8] * w[..., 0] + inert[..., 9] * w[..., 1] + inert[..., 6] * w[..., 2],
+    ], -1)
+    return jnp.concatenate([iw + jnp.cross(h, vl), mass * vl - jnp.cross(h, w)], -1)
+
+
+def chain_mass_bias(plan: ChainPlan, qpos: jax.Array, qvel: jax.Array):
+    """(M (nv,nv) incl. armature, qfrc_bias (nv,)) — CRBA + RNE as dense
+    einsums over the baked topology masks."""
+    f = qpos.dtype
+    cdof, cinert = _cdof_cinert(plan, qpos)
+
+    # CRBA: composite inertias via the subtree mask, then masked outer solve
+    crb = jnp.asarray(plan.sub_body, f) @ cinert            # (nmov, 10)
+    fmom = _imul(crb[plan.dof_slot], cdof)                  # (nv, 6)
+    mfull = fmom @ cdof.T                                   # (nv, nv)
+    mlow = jnp.asarray(plan.m_mask, f) * mfull
+    mass = mlow + mlow.T - jnp.diag(jnp.diag(mlow)) \
+        + jnp.diag(jnp.asarray(plan.armature, f))
+
+    # RNE (qacc = 0): bias forces about org
+    contrib = cdof * qvel[:, None]                          # (nv, 6)
+    vbody = jnp.asarray(plan.anc_dof, f) @ contrib          # (nmov, 6)
+    zero6 = jnp.zeros((6,), f)
+    parent_v = jnp.stack([
+        vbody[int(s)] if s >= 0 else zero6 for s in plan.dof_parent_slot])
+    cdofdot = jnp.concatenate([
+        jnp.cross(parent_v[:, :3], cdof[:, :3]),
+        jnp.cross(parent_v[:, :3], cdof[:, 3:])
+        + jnp.cross(parent_v[:, 3:], cdof[:, :3]),
+    ], -1)
+    a0 = jnp.concatenate([jnp.zeros(3, f), -jnp.asarray(plan.gravity, f)])
+    abody = a0 + jnp.asarray(plan.anc_dof, f) @ (cdofdot * qvel[:, None])
+    iv = _imul(cinert, vbody)
+    fb = _imul(cinert, abody) + jnp.concatenate([
+        jnp.cross(vbody[:, :3], iv[:, :3]) + jnp.cross(vbody[:, 3:], iv[:, 3:]),
+        jnp.cross(vbody[:, :3], iv[:, 3:]),
+    ], -1)
+    fsub = jnp.asarray(plan.dof_sub_body, f) @ fb           # (nv, 6)
+    bias = jnp.sum(cdof * fsub, -1)
+    return mass, bias
+
+
+def chain_hold_ctrl(plan: ChainPlan, qpos: jax.Array) -> jax.Array:
+    """Gravity-compensation controls (iLQR warm start): bias/gear clipped."""
+    f = qpos.dtype
+    _, bias = chain_mass_bias(plan, qpos, jnp.zeros((plan.nv,), f))
+    u = bias[plan.act_dof] / jnp.asarray(plan.gear, f)
+    return jnp.clip(u, jnp.asarray(plan.ctrlrange[:, 0], f),
+                    jnp.asarray(plan.ctrlrange[:, 1], f))
+
+
+def chain_step(plan: ChainPlan, qpos: jax.Array, qvel: jax.Array,
+               ctrl: jax.Array):
+    """One semi-implicit Euler step with implicit joint damping — same
+    semantics as `dynamics.step(model, state, ncon=0)` on the submodel
+    (parity-gated in tests/test_chain.py)."""
+    f = qpos.dtype
+    h = plan.timestep
+    mass, bias = chain_mass_bias(plan, qpos, qvel)
+    c = jnp.clip(ctrl, jnp.asarray(plan.ctrlrange[:, 0], f),
+                 jnp.asarray(plan.ctrlrange[:, 1], f))
+    tau = jnp.asarray(plan.act_mat, f) @ (jnp.asarray(plan.gear, f) * c)
+    damp = jnp.asarray(plan.damping, f)
+    qfrc = tau - bias - damp * qvel
+    a = mass + h * jnp.diag(damp)
+    cho = jax.scipy.linalg.cho_factor(a)
+    qacc = jax.scipy.linalg.cho_solve(cho, qfrc)
+    qvel2 = qvel + h * qacc
+    qpos2 = qpos + h * qvel2
+    return qpos2, qvel2
