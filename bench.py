@@ -4,11 +4,17 @@ Run on the real chip (no platform forcing). Prints ONE JSON line on stdout:
 
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
 
-Headline metric: grasp-MPC solves/s/chip at H=64, B=4096 (BASELINE.md build
-target: 4096 parallel solves at H=64 in REAL TIME, i.e. 4096 solves per
-64 * 2 ms = 0.128 s -> 32,000 solves/s == vs_baseline 1.0). Until/unless the
-MPC import is available, the headline falls back to batched contact-dynamics
-throughput expressed as a real-time factor.
+Headline metric: grasp-MPC solves/s/chip at H=64 (BASELINE.md build target:
+4096 parallel solves at H=64 in REAL TIME, i.e. 4096 solves per
+64 * 2 ms = 0.128 s -> 32,000 solves/s == vs_baseline 1.0).
+
+Robustness rules (learned from the BENCH_r02 failure, where a single
+~100 s device call through the axon tunnel died with a device error):
+  * every device call is kept SHORT — rolls are chunked host-side;
+  * every section is wrapped in try/except; a failed section degrades the
+    extras, never the JSON line;
+  * batch sizes escalate adaptively: a bigger batch only runs if the
+    projected call time stays under a budget.
 
 All progress/diagnostics go to stderr; stdout carries exactly one JSON line.
 
@@ -29,6 +35,7 @@ import numpy as np
 SCENE = "/root/reference/UR5+gripper/UR5gripper_2_finger_many_objects.xml"
 TIMESTEP = 0.002
 REALTIME_SOLVES_PER_S = 4096.0 / (64 * TIMESTEP)   # 32,000 (BASELINE target)
+CALL_BUDGET_S = 45.0       # max projected seconds per single device call
 
 
 def log(msg: str) -> None:
@@ -47,14 +54,36 @@ def timed(fn, *args, warmup: int = 1, iters: int = 3):
     return float(np.median(ts))
 
 
+def section(name, fn, extras, *args, **kw):
+    try:
+        out = fn(*args, **kw)
+        if out:
+            extras.update(out)
+        return out
+    except Exception as e:
+        log(f"{name} FAILED: {type(e).__name__}: {e}")
+        extras[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+        return None
+
+
 def bench_dynamics(model, quick: bool):
-    """Batched contact step throughput: scenario-steps/s at several B."""
+    """Batched contact step throughput: scenario-steps/s at escalating B.
+
+    Each jitted roll covers K steps (a few seconds of device time); timing
+    loops the call host-side, so no single device call grows with B."""
     from mujoco_rl_ur5_tpu.physics import dynamics
     from mujoco_rl_ur5_tpu.scene import make_state
 
+    K = 25
     out = {}
+    last_rate = None
     for B in ([256] if quick else [256, 1024, 4096]):
-        K = 50 if (quick or B >= 4096) else 200
+        if last_rate is not None:
+            projected = B * K / last_rate
+            if projected > CALL_BUDGET_S:
+                log(f"dynamics B={B}: skipped (projected {projected:.0f}s "
+                    f"per call > {CALL_BUDGET_S}s budget)")
+                break
         state = make_state(model, (B,))
         # randomize qvel slightly so contacts are active
         state = state.replace(
@@ -74,11 +103,13 @@ def bench_dynamics(model, quick: bool):
         t0 = time.perf_counter()
         jax.block_until_ready(roll(state))
         log(f"dynamics B={B}: compile+1st run {time.perf_counter()-t0:.1f}s")
-        dt = timed(lambda s: jax.block_until_ready(roll(s)), state)
+        dt = timed(lambda s: jax.block_until_ready(roll(s)), state,
+                   iters=2 if B >= 4096 else 3)
         rate = B * K / dt
+        last_rate = rate
         out[f"dynamics_steps_per_s_B{B}"] = round(rate)
         log(f"dynamics B={B}: {rate:,.0f} scenario-steps/s "
-            f"(= {rate*TIMESTEP:,.0f}x real-time)")
+            f"(= {rate*TIMESTEP:,.1f}x real-time)")
     return out
 
 
@@ -109,7 +140,7 @@ def bench_render(model, quick: bool):
 
 
 def bench_env(model, quick: bool):
-    """Full GraspEnv: batched reset (settle 500 steps) + one full scripted
+    """Full GraspEnv: batched reset (settle) + one full scripted
     pick-&-place (the ~6k-step phase machine) per scenario."""
     from mujoco_rl_ur5_tpu.env import GraspEnv
 
@@ -151,27 +182,40 @@ def bench_env(model, quick: bool):
 
 
 def bench_mpc(model, quick: bool):
-    """North-star metric: batched grasp-MPC solves/s at H=64."""
-    try:
-        from mujoco_rl_ur5_tpu.mpc import GraspMPC
-    except ImportError:
-        return None
+    """North-star metric: batched grasp-MPC solves/s at H=64.
+
+    Escalates B 256 -> 1024 -> 4096, only continuing while the projected
+    single-call time stays under budget; reports the best solves/s and the
+    B achieving it."""
+    from mujoco_rl_ur5_tpu.mpc import GraspMPC
     from mujoco_rl_ur5_tpu.scene import make_state
 
-    B = 256 if quick else 4096
     H = 64
     mpc = GraspMPC.from_scene(SCENE, horizon=H)
-    state = make_state(model, (B,))
-    targets = jnp.tile(jnp.asarray([0.0, -0.6, 1.0]), (B, 1))
-    solve = jax.jit(mpc.solve_batch)
-    t0 = time.perf_counter()
-    jax.block_until_ready(solve(state, targets))
-    log(f"mpc B={B} H={H}: compile+1st run {time.perf_counter()-t0:.1f}s")
-    dt = timed(lambda s, t: jax.block_until_ready(solve(s, t)),
-               state, targets)
-    rate = B / dt
-    log(f"mpc: {rate:,.0f} solves/s (target {REALTIME_SOLVES_PER_S:,.0f})")
-    return {"mpc_solves_per_s_H64": round(rate, 1), "mpc_batch": B}
+    best_rate, best_B = 0.0, 0
+    last_rate = None
+    for B in ([256] if quick else [256, 1024, 4096]):
+        if last_rate is not None and B / last_rate > CALL_BUDGET_S:
+            log(f"mpc B={B}: skipped (projected {B/last_rate:.0f}s "
+                f"> {CALL_BUDGET_S}s budget)")
+            break
+        state = make_state(model, (B,))
+        targets = jnp.tile(jnp.asarray([0.0, -0.6, 1.0]), (B, 1))
+        solve = jax.jit(mpc.solve_batch)
+        t0 = time.perf_counter()
+        jax.block_until_ready(solve(state, targets))
+        log(f"mpc B={B} H={H}: compile+1st run {time.perf_counter()-t0:.1f}s")
+        dt = timed(lambda s, t: jax.block_until_ready(solve(s, t)),
+                   state, targets, iters=2 if B >= 4096 else 3)
+        rate = B / dt
+        last_rate = rate
+        log(f"mpc B={B}: {rate:,.0f} solves/s "
+            f"(target {REALTIME_SOLVES_PER_S:,.0f})")
+        if rate > best_rate:
+            best_rate, best_B = rate, B
+    if best_B == 0:
+        return None
+    return {"mpc_solves_per_s_H64": round(best_rate, 1), "mpc_batch": best_B}
 
 
 def main():
@@ -179,17 +223,14 @@ def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     from mujoco_rl_ur5_tpu.scene import load_model
 
+    t0 = time.perf_counter()
     model = load_model(SCENE)
+    log(f"load_model: {time.perf_counter()-t0:.1f}s")
     extras = {}
-    extras.update(bench_dynamics(model, quick))
-    extras.update(bench_render(model, quick))
-    mpc = bench_mpc(model, quick)
-    if mpc:
-        extras.update(mpc)
-    try:
-        extras.update(bench_env(model, quick))
-    except Exception as e:  # env bench is the heaviest; don't lose the line
-        log(f"env bench failed: {type(e).__name__}: {e}")
+    mpc = section("mpc", bench_mpc, extras, model, quick)
+    section("dynamics", bench_dynamics, extras, model, quick)
+    section("render", bench_render, extras, model, quick)
+    section("env", bench_env, extras, model, quick)
 
     if mpc:
         value = extras["mpc_solves_per_s_H64"]
@@ -201,17 +242,21 @@ def main():
             "extras": extras,
         }
     else:
-        key = max((k for k in extras if k.startswith("dynamics")),
-                  key=lambda k: extras[k])
-        value = extras[key]
-        result = {
-            "metric": "contact_dynamics_steps_per_s",
-            "value": value,
-            "unit": "scenario-steps/s",
-            # real-time factor: simulated seconds per wall second
-            "vs_baseline": round(value * TIMESTEP, 1),
-            "extras": extras,
-        }
+        dyn = {k: v for k, v in extras.items() if k.startswith("dynamics_")}
+        if dyn:
+            key = max(dyn, key=lambda k: dyn[k])
+            value = extras[key]
+            result = {
+                "metric": "contact_dynamics_steps_per_s",
+                "value": value,
+                "unit": "scenario-steps/s",
+                # real-time factor: simulated seconds per wall second
+                "vs_baseline": round(value * TIMESTEP, 1),
+                "extras": extras,
+            }
+        else:
+            result = {"metric": "bench_failed", "value": 0, "unit": "",
+                      "vs_baseline": 0.0, "extras": extras}
     print(json.dumps(result), flush=True)
 
 

@@ -73,8 +73,13 @@ class GraspMPC:
         self.iters = iters
         self.w = weights
         self.parallel = parallel
-        # sequential linearization chunks (memory cap at large B; ilqr docstring)
-        self.lin_chunks = lin_chunks if horizon % lin_chunks == 0 else 1
+        # sequential linearization chunks (memory cap at large B; ilqr
+        # docstring). Non-divisors fall back to the largest divisor of the
+        # horizon <= lin_chunks — NOT to 1, which would reinstate the
+        # full-horizon vmap(jacfwd) HBM peak the parameter exists to prevent.
+        self.lin_chunks = next(
+            c for c in range(min(lin_chunks, horizon), 0, -1)
+            if horizon % c == 0)
         self.nq = t.nq
         self.nu = t.nu
         self.nx = 2 * t.nq

@@ -100,7 +100,7 @@ def ilqr(
         return F.reshape(H, nx, nx), L.reshape(H, nx, nu)
 
     def iteration(carry, _):
-        xs, us, cost = carry
+        xs, us, cost, rg = carry
         F, L = lin_all(xs[:-1], us)
         X, q, U, r = jax.vmap(quad_cost)(xs[:-1], us, refs)
         XH = jax.hessian(term_cost_fn, argnums=0)(xs[-1], term_ref)
@@ -108,7 +108,7 @@ def ilqr(
         # expansion around the nominal: defect c = 0 (rollout is exact)
         p = LQR(F=F, L=L, c=jnp.zeros_like(xs[:-1]), X=X, q=q,
                 U=U, r=r, XH=XH, qH=qH)
-        gains = backward(p, reg=reg)
+        gains = backward(p, reg=rg)
 
         def try_alpha(a):
             xs_a, us_a = rollout_policy(dyn_step, x0, xs, us, gains, a,
@@ -123,12 +123,20 @@ def ilqr(
         xs2 = jnp.where(improved, xs_c[best], xs)
         us2 = jnp.where(improved, us_c[best], us)
         cost2 = jnp.where(improved, costs[best], cost)
-        return (xs2, us2, cost2), cost2
+        # Levenberg-Marquardt schedule: a rejected step would otherwise
+        # repeat the IDENTICAL iteration forever (same nominal => same
+        # candidates). Raising reg bends the next step toward gradient
+        # descent until some alpha improves (e.g. long-horizon solves from
+        # the upright singular pose stalled at zero improvement without it).
+        rg2 = jnp.where(improved, jnp.maximum(rg * 0.5, reg),
+                        jnp.minimum(rg * 10.0, 1e3))
+        return (xs2, us2, cost2, rg2), cost2
 
     xs0 = open_loop(x0, u_init)
     cost0 = _total_cost(cost_fn, term_cost_fn, xs0, u_init, refs, term_ref)
-    (xs, us, cost), _ = jax.lax.scan(
-        iteration, (xs0, u_init, cost0), None, length=iters)
+    (xs, us, cost, _), _ = jax.lax.scan(
+        iteration, (xs0, u_init, cost0, jnp.asarray(reg, x0.dtype)), None,
+        length=iters)
 
     # final policy around the converged trajectory (for MPC execution)
     F, L = lin_all(xs[:-1], us)

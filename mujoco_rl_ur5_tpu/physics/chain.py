@@ -160,13 +160,20 @@ def make_chain_plan(model: Model) -> ChainPlan:
     act_mat = np.zeros((nv, nu))
     act_mat[np.asarray(t.act_dofadr), np.arange(nu)] = 1.0
 
+    # chain_step integrates qpos += h*qvel as a full-vector add, which
+    # requires qpos/dof addresses to coincide; all-hinge models guarantee it,
+    # assert so a relaxed validation above can't silently break integration
+    qadr = np.asarray(t.jnt_qposadr)[np.argsort(t.jnt_dofadr)]
+    assert np.array_equal(qadr, np.arange(nv)), \
+        "chain plan requires qpos addresses == dof addresses (all-hinge)"
+
     root = int(t.tree_rootbody[0])
     return ChainPlan(
         nv=nv, nu=nu, nmov=nmov, body_ids=mov, parent_slot=parent_slot,
         parent_pose=parent_pose, body_pos=body_pos, body_rot=body_rot,
         jnt_dof=jnt_dof, jnt_pos=jnt_pos, jnt_axis=jnt_axis, jnt_ref=jnt_ref,
         dof_slot=dof_slot, dof_parent_slot=dof_parent_slot,
-        qadr=np.asarray(t.jnt_qposadr)[np.argsort(t.jnt_dofadr)],
+        qadr=qadr,
         ipos=m(model.body_ipos)[mov],
         irot=np.stack([_quat_to_mat_np(q) for q in m(model.body_iquat)[mov]]),
         idiag=m(model.body_inertia)[mov], mass=m(model.body_mass)[mov],
@@ -232,7 +239,8 @@ def chain_fk(plan: ChainPlan, qpos: jax.Array):
 def chain_body_pos(plan: ChainPlan, qpos: jax.Array, body_id: int) -> jax.Array:
     """World position of one body frame (e.g. ee_link) — differentiable."""
     slot = int(np.nonzero(plan.body_ids == body_id)[0][0])
-    xpos, _, _, _ = chain_fk(plan, qpos)
+    with jax.default_matmul_precision("float32"):
+        xpos, _, _, _ = chain_fk(plan, qpos)
     return xpos[slot]
 
 
@@ -311,7 +319,8 @@ def chain_mass_bias(plan: ChainPlan, qpos: jax.Array, qvel: jax.Array):
 def chain_hold_ctrl(plan: ChainPlan, qpos: jax.Array) -> jax.Array:
     """Gravity-compensation controls (iLQR warm start): bias/gear clipped."""
     f = qpos.dtype
-    _, bias = chain_mass_bias(plan, qpos, jnp.zeros((plan.nv,), f))
+    with jax.default_matmul_precision("float32"):
+        _, bias = chain_mass_bias(plan, qpos, jnp.zeros((plan.nv,), f))
     u = bias[plan.act_dof] / jnp.asarray(plan.gear, f)
     return jnp.clip(u, jnp.asarray(plan.ctrlrange[:, 0], f),
                     jnp.asarray(plan.ctrlrange[:, 1], f))
@@ -322,17 +331,23 @@ def chain_step(plan: ChainPlan, qpos: jax.Array, qvel: jax.Array,
     """One semi-implicit Euler step with implicit joint damping — same
     semantics as `dynamics.step(model, state, ncon=0)` on the submodel
     (parity-gated in tests/test_chain.py)."""
-    f = qpos.dtype
-    h = plan.timestep
-    mass, bias = chain_mass_bias(plan, qpos, qvel)
-    c = jnp.clip(ctrl, jnp.asarray(plan.ctrlrange[:, 0], f),
-                 jnp.asarray(plan.ctrlrange[:, 1], f))
-    tau = jnp.asarray(plan.act_mat, f) @ (jnp.asarray(plan.gear, f) * c)
-    damp = jnp.asarray(plan.damping, f)
-    qfrc = tau - bias - damp * qvel
-    a = mass + h * jnp.diag(damp)
-    cho = jax.scipy.linalg.cho_factor(a)
-    qacc = jax.scipy.linalg.cho_solve(cho, qfrc)
-    qvel2 = qvel + h * qacc
-    qpos2 = qpos + h * qvel2
-    return qpos2, qvel2
+    from mujoco_rl_ur5_tpu.ops.blockchol import solve_spd_scaled
+
+    with jax.default_matmul_precision("float32"):
+        f = qpos.dtype
+        h = plan.timestep
+        mass, bias = chain_mass_bias(plan, qpos, qvel)
+        c = jnp.clip(ctrl, jnp.asarray(plan.ctrlrange[:, 0], f),
+                     jnp.asarray(plan.ctrlrange[:, 1], f))
+        tau = jnp.asarray(plan.act_mat, f) @ (jnp.asarray(plan.gear, f) * c)
+        damp = jnp.asarray(plan.damping, f)
+        qfrc = tau - bias - damp * qvel
+        a = mass + h * jnp.diag(damp)
+        # equilibrated unrolled Cholesky solve (ops/blockchol.py): the
+        # cho_factor/cho_solve custom-calls dominate the MPC rollout cost
+        # on TPU at (.., 8, 8) shapes, and the arm mass needs Jacobi
+        # scaling to stay accurate in f32 (cond ~1e7 from finger inertias)
+        qacc = solve_spd_scaled(a, qfrc)
+        qvel2 = qvel + h * qacc
+        qpos2 = qpos + h * qvel2
+        return qpos2, qvel2

@@ -9,10 +9,11 @@ with sequential PGS/Newton; here the dual problem
 (A = J M^-1 J^T the Delassus operator, R the soft-constraint regularizer,
 K the product of friction cones / nonnegative orthants / free spaces) is
 solved with a *parallel* block-preconditioned projected-gradient iteration:
-every contact owns an exact 6x6 Delassus diagonal block (computed with two
-8x8 triangular solves against the per-tree mass Cholesky factors), and all
-contacts update simultaneously — no sequential sweep, so the whole solver is
-a fixed unrolled loop of dense batched ops that vmaps over 4096 scenarios.
+every contact owns an exact 6x6 Delassus diagonal block (einsums against
+the explicit Jacobi-equilibrated per-tree M^-1 from dynamics.inv_blocks),
+and all contacts update simultaneously — no sequential sweep, so the whole
+solver is a fixed unrolled loop of dense batched einsums (MXU work, no
+gathers/scatters/custom-calls) that vmaps over 4096 scenarios.
 
 Soft-constraint parameters follow MuJoCo exactly:
     impedance d(r) from solimp (dmin, dmax, width, mid=0.5, power=2)
@@ -85,6 +86,13 @@ def kb_from_solref(solref: jax.Array, dmax: jax.Array):
 # ---------------------------------------------------------------------------
 
 
+def _onehot_np(idx: np.ndarray, n: int, dtype) -> np.ndarray:
+    """Constant one-hot matrix (len(idx), n) for static gather-as-matmul."""
+    oh = np.zeros((len(idx), n), dtype=np.dtype(dtype))
+    oh[np.arange(len(idx)), np.asarray(idx)] = 1.0
+    return oh
+
+
 BROADPHASE_CAP = 64   # max pairs per type group fed to the narrowphase
 
 
@@ -96,59 +104,97 @@ def collide(model: Model, kin: Kin):
     (expensive) narrowphase — a static top-k, so shapes stay fixed. The
     grasp scene has 2,237 static pairs (571 box-hull alone); at any instant
     well under 64 per group can touch, so the prune is behavior-neutral
-    while cutting narrowphase+top-k work ~4x."""
+    while cutting narrowphase+selection work ~4x (a fully dense
+    no-broadphase variant measured 3x SLOWER end-to-end: the global
+    most-penetrating top-k then runs over ~12k candidates).
+
+    TPU note: per-pair operands of BATCHED tables (geom poses, hull data
+    under batched selection) are fetched by one-hot matmuls, never row
+    gathers — constant one-hots (numpy) for static pair lists, iota-compare
+    one-hots for the top-k-selected pairs. Row gathers on TPU are VMEM-bound
+    serial loops (profiled ~15 ms/step at B=256 here); the matmuls ride the
+    MXU at <1 ms. Per-pair CONSTANTS (margins, friction, solref/solimp,
+    geom ids) travel as a packed (n, 13) float block: constant for uncapped
+    groups, one small `sel_onehot @ const` matmul for capped ones. (A
+    previous design carried (ncand, npair) one-hot rows instead — a
+    B x 2764 x 2237 tensor that OOM'd HBM at B=1024.)
+
+    Returns (pos (ncand,3), normal (ncand,3), dist (ncand,), pdata
+    (ncand, 13)) with pdata columns [pairidx, margin, friction*3, solref*2,
+    solimp*3, condim, geom1, geom2]."""
     t = model.topo
+    dtype = kin.xpos.dtype
     gpos, gquat = geom_poses(model, kin)
     cpos = gpos + quat_rotate(gquat, model.col_pos)
     cquat = quat_mul(gquat, model.col_quat)
     rbound = model.geom_rbound
 
-    pos_l, n_l, dist_l, pairidx_l = [], [], [], []
+    # packed per-pair constants (host-side; model pair tables are unbatched)
+    pdata_all = np.column_stack([
+        np.arange(len(t.pair_geom1), dtype=np.float64),
+        np.asarray(model.pair_margin, np.float64),
+        np.asarray(model.pair_friction, np.float64),
+        np.asarray(model.pair_solref, np.float64),
+        np.asarray(model.pair_solimp, np.float64),
+        np.asarray(t.pair_condim, np.float64),
+        np.asarray(t.pair_geom1, np.float64),
+        np.asarray(t.pair_geom2, np.float64),
+    ]).astype(np.dtype(dtype))
+
+    pos_l, n_l, dist_l, pdata_l = [], [], [], []
     for (t1, t2, idx) in t.pair_groups:
-        g1 = t.pair_geom1[idx]
-        g2 = t.pair_geom2[idx]
+        idx = np.asarray(idx)
+        g1 = np.asarray(t.pair_geom1)[idx]
+        g2 = np.asarray(t.pair_geom2)[idx]
+        P1 = jnp.asarray(_onehot_np(g1, t.ngeom, dtype))   # (n, ngeom)
+        P2 = jnp.asarray(_onehot_np(g2, t.ngeom, dtype))
+        pd = jnp.asarray(pdata_all[idx])                   # (n, 13) const
         if len(idx) > BROADPHASE_CAP:
-            sep = (jnp.linalg.norm(cpos[g1] - cpos[g2], axis=-1)
-                   - rbound[jnp.asarray(g1)] - rbound[jnp.asarray(g2)])
+            c1, c2 = P1 @ cpos, P2 @ cpos
+            sep = (jnp.linalg.norm(c1 - c2, axis=-1)
+                   - P1 @ rbound - P2 @ rbound)
             _, sel = jax.lax.top_k(-sep, BROADPHASE_CAP)
-            g1 = jnp.asarray(g1)[sel]
-            g2 = jnp.asarray(g2)[sel]
-            idx = jnp.asarray(idx)[sel]
+            S = jax.nn.one_hot(sel, len(idx), dtype=dtype)  # (cap, n)
+            P1, P2, pd = S @ P1, S @ P2, S @ pd
+        p1, q1, s1 = P1 @ cpos, P1 @ cquat, P1 @ model.col_size
+        p2, q2, s2 = P2 @ cpos, P2 @ cquat, P2 @ model.col_size
         if (t1, t2) in collision.NARROWPHASE:
             fn, k = collision.NARROWPHASE[(t1, t2)]
-            p, n, d = jax.vmap(fn)(
-                cpos[g1], cquat[g1], model.col_size[g1],
-                cpos[g2], cquat[g2], model.col_size[g2],
-            )
+            p, n, d = jax.vmap(fn)(p1, q1, s1, p2, q2, s2)
         else:
             fn, k = collision.HULL_NARROWPHASE[(t1, t2)]
-            m2 = jnp.asarray(t.geom_meshid)[g2]
-            h2 = (model.hull_verts[m2], model.hull_vmask[m2],
-                  model.hull_fnorm[m2], model.hull_fdist[m2])
+            # geom -> mesh-slot one-hot composed through the pair one-hot
+            g2m = _onehot_np(
+                np.maximum(np.asarray(t.geom_meshid), 0), t.nmesh, dtype)
+            H2 = P2 @ jnp.asarray(g2m)                     # (n, nmesh)
+            h2 = (jnp.einsum("pm,mvd->pvd", H2, model.hull_verts),
+                  H2 @ model.hull_vmask,
+                  jnp.einsum("pm,mfd->pfd", H2, model.hull_fnorm),
+                  H2 @ model.hull_fdist)
             if t1 == collision.GEOM_MESH:
-                m1 = jnp.asarray(t.geom_meshid)[g1]
+                H1 = P1 @ jnp.asarray(g2m)
                 p, n, d = jax.vmap(fn)(
-                    cpos[g1], cquat[g1], model.hull_verts[m1],
-                    model.hull_vmask[m1], model.hull_fnorm[m1],
-                    model.hull_fdist[m1], cpos[g2], cquat[g2], *h2,
+                    p1, q1,
+                    jnp.einsum("pm,mvd->pvd", H1, model.hull_verts),
+                    H1 @ model.hull_vmask,
+                    jnp.einsum("pm,mfd->pfd", H1, model.hull_fnorm),
+                    H1 @ model.hull_fdist,
+                    p2, q2, *h2,
                 )
             else:
-                p, n, d = jax.vmap(fn)(
-                    cpos[g1], cquat[g1], model.col_size[g1],
-                    cpos[g2], cquat[g2], *h2,
-                )
+                p, n, d = jax.vmap(fn)(p1, q1, s1, p2, q2, *h2)
         pos_l.append(p.reshape(-1, 3))
         n_l.append(n.reshape(-1, 3))
         dist_l.append(d.reshape(-1))
-        pairidx_l.append(jnp.repeat(jnp.asarray(idx), k))
+        pdata_l.append(jnp.repeat(pd, k, axis=0))
     if not pos_l:
         z = jnp.zeros((0, 3))
-        return z, z, jnp.zeros((0,)), jnp.zeros(0, jnp.int32)
+        return z, z, jnp.zeros((0,)), jnp.zeros((0, 13))
     return (
         jnp.concatenate(pos_l),
         jnp.concatenate(n_l),
         jnp.concatenate(dist_l),
-        jnp.concatenate(pairidx_l),
+        jnp.concatenate(pdata_l),         # (ncand, 13) packed pair data
     )
 
 
@@ -188,56 +234,71 @@ def _tangent_frame(n):
 
 def make_contacts(model: Model, kin: Kin, ncon: int) -> ContactSet:
     t = model.topo
-    cand_pos, cand_n, cand_dist, cand_pair = collide(model, kin)
-    margin_c = model.pair_margin[cand_pair]
-    score = cand_dist - margin_c
-    k = min(ncon, len(cand_pair))
+    cand_pos, cand_n, cand_dist, cand_pd = collide(model, kin)
+    dtype = cand_pos.dtype
+    score = cand_dist - cand_pd[:, 1]                 # dist - margin
+    ncand = cand_pd.shape[0]
+    k = min(ncon, ncand)
     _, sel = jax.lax.top_k(-score, k)
+    S = jax.nn.one_hot(sel, ncand, dtype=dtype)       # (k, ncand)
 
-    pos = cand_pos[sel]
-    n = cand_n[sel]
-    dist = cand_dist[sel]
-    pair = jnp.asarray(cand_pair)[sel]
-    active = (dist - model.pair_margin[pair]) < 0.0
+    pos = S @ cand_pos
+    n = S @ cand_n
+    dist = S @ cand_dist
+    pd = S @ cand_pd                                  # (k, 13) pair data
+    margin = pd[:, 1]
+    friction = pd[:, 2:5]
+    solref = pd[:, 5:7]
+    solimp = pd[:, 7:10]
+    condim = pd[:, 10]
+    g1 = jnp.rint(pd[:, 11]).astype(jnp.int32)
+    g2 = jnp.rint(pd[:, 12]).astype(jnp.int32)
+    active = (dist - margin) < 0.0
 
-    g1 = jnp.asarray(t.pair_geom1)[pair]
-    g2 = jnp.asarray(t.pair_geom2)[pair]
-    condim = jnp.asarray(t.pair_condim)[pair]
+    Tg1 = jax.nn.one_hot(g1, t.ngeom, dtype=dtype)    # (k, ngeom)
+    Tg2 = jax.nn.one_hot(g2, t.ngeom, dtype=dtype)
     dim_mask = jnp.arange(6) < condim[:, None]
     t1v, t2v = _tangent_frame(n)
     frame = jnp.stack([n, t1v, t2v], axis=1)
 
-    # cdof regrouped per (tree, slot); extra zero tree for static sides
-    cdof_tree = jnp.zeros((t.ntree + 1, t.mtdof, 6), cand_pos.dtype)
+    # cdof regrouped per (tree, slot); extra zero tree for static sides.
+    # All per-contact table reads go through one-hot matmuls: TPU row
+    # gathers at (K,) dynamic indices are VMEM-bound serial loops, while
+    # (K, ntree+1) x (ntree+1, mt*6) one-hots ride the MXU (profiled ~5x).
+    cdof_tree = jnp.zeros((t.ntree + 1, t.mtdof, 6), dtype)
     cdof_tree = cdof_tree.at[t.dof_tree, t.dof_treeidx].set(kin.cdof)
-    tree_org = jnp.concatenate([kin.tree_org, jnp.zeros((1, 3), cand_pos.dtype)])
-    b_tree = jnp.asarray(np.where(t.body_tree >= 0, t.body_tree, t.ntree))
-    b_slots = jnp.asarray(t.body_ancestor_slots)
-    geom_body = jnp.asarray(t.geom_body)
+    tree_org = jnp.concatenate([kin.tree_org, jnp.zeros((1, 3), dtype)])
+    b_tree = np.where(t.body_tree >= 0, t.body_tree, t.ntree)
+    b_slots = jnp.asarray(t.body_ancestor_slots, dtype)
+    geom_tree_np = b_tree[t.geom_body]                  # (ngeom,) host ints
+    geom_slots = b_slots[np.asarray(t.geom_body)]       # (ngeom, mt)
+    geom_slots = geom_slots * jnp.asarray(
+        (geom_tree_np != t.ntree)[:, None], dtype)
+    # geom -> tree one-hot (constant): composes with Tg for tree lookups
+    GTc = jnp.asarray(_onehot_np(geom_tree_np, t.ntree + 1, dtype))
 
-    def side_jac(g, p, fr):
-        body = geom_body[g]
-        tr = b_tree[body]
-        cd = cdof_tree[tr]                        # (mt, 6)
-        ang = cd[:, :3]
-        lin = cd[:, 3:] + jnp.cross(ang, p[None] - tree_org[tr][None])
-        slots = jnp.where(tr == t.ntree, jnp.zeros(t.mtdof, bool), b_slots[body])
-        Jlin = fr @ lin.T                          # (3, mt)
-        Jang = fr @ ang.T                          # (3, mt)
-        J = jnp.concatenate([Jlin, Jang]) * slots[None, :]
+    def side_jac(Tg, pos, frame):
+        """Batched contact-side Jacobian rows from the geom one-hot
+        Tg (K, ngeom), pos (K,3), frame (K,3,3) -> (tree (K,), J (K,6,mt))."""
+        Tt = Tg @ GTc                                    # (K, ntree+1)
+        tr = (Tt @ jnp.arange(t.ntree + 1, dtype=dtype)).astype(jnp.int32)
+        cd = jnp.einsum("kt,tmf->kmf", Tt, cdof_tree)    # (K, mt, 6)
+        org = Tt @ tree_org                              # (K, 3)
+        slots = Tg @ geom_slots                          # (K, mt)
+        ang = cd[..., :3]
+        lin = cd[..., 3:] + jnp.cross(ang, (pos - org)[:, None, :])
+        Jlin = jnp.einsum("krd,kmd->krm", frame, lin)    # (K, 3, mt)
+        Jang = jnp.einsum("krd,kmd->krm", frame, ang)
+        J = jnp.concatenate([Jlin, Jang], axis=1) * slots[:, None, :]
         return tr, J
 
-    def one(g1_, g2_, p_, fr_):
-        tr1, Ja = side_jac(g1_, p_, fr_)
-        tr2, Jb = side_jac(g2_, p_, fr_)
-        return tr1, -Ja, tr2, Jb
-
-    tree1, J1, tree2, J2 = jax.vmap(one)(g1, g2, pos, frame)
+    tree1, J1 = side_jac(Tg1, pos, frame)
+    J1 = -J1
+    tree2, J2 = side_jac(Tg2, pos, frame)
 
     return ContactSet(
         pos=pos, frame=frame, dist=dist, active=active, dim_mask=dim_mask,
-        friction=model.pair_friction[pair], solref=model.pair_solref[pair],
-        solimp=model.pair_solimp[pair], margin=model.pair_margin[pair],
+        friction=friction, solref=solref, solimp=solimp, margin=margin,
         tree1=tree1, tree2=tree2, J1=J1, J2=J2, geom1=g1, geom2=g2,
     )
 
@@ -310,10 +371,17 @@ def _scalar_rows(model: Model, state: State):
     return J, aref, imp, act, lb
 
 
-def constraint_forces(model: Model, state: State, kin: Kin, chol_m: jax.Array,
+def constraint_forces(model: Model, state: State, kin: Kin, minv: jax.Array,
                       qacc_smooth: jax.Array, ncon: int, iterations: int):
     """Solve for constraint impulses; returns qfrc_constraint (nv,) and the
-    ContactSet (for diagnostics / grasp detection)."""
+    ContactSet (for diagnostics / grasp detection).
+
+    ``minv`` is the explicit per-tree M^-1 block stack (ntree, mt, mt) from
+    dynamics.inv_blocks: every M^-1 application below — Delassus blocks,
+    scalar-row diagonals, and one per solver iteration — is an einsum
+    against it, and every per-contact tree read/write goes through one-hot
+    matmuls (T1/T2), keeping the whole solver on the MXU instead of
+    TPU gather/scatter loops (profiled ~4x on the APGD iteration)."""
     t = model.topo
     dtype = state.qvel.dtype
     con = make_contacts(model, kin, ncon)
@@ -321,36 +389,32 @@ def constraint_forces(model: Model, state: State, kin: Kin, chol_m: jax.Array,
     mt = t.mtdof
     h_ref = t.impratio
 
+    minv_pad = jnp.concatenate(
+        [minv, jnp.zeros((1, mt, mt), dtype)])             # (ntree+1, mt, mt)
+    T1 = jax.nn.one_hot(con.tree1, t.ntree + 1, dtype=dtype)   # (K, ntree+1)
+    T2 = jax.nn.one_hot(con.tree2, t.ntree + 1, dtype=dtype)
+
+    def rows_dot(X):
+        """Per-contact J . X[tree] for a per-tree field X (ntree+1, mt)."""
+        return (jnp.einsum("krm,km->kr", con.J1, T1 @ X)
+                + jnp.einsum("krm,km->kr", con.J2, T2 @ X))
+
     # ---- contact row parameters
     r = con.dist - con.margin                       # violation (<0 active)
     imp = impedance(con.solimp, r)
     ks, bs = kb_from_solref(con.solref, con.solimp[..., 1])
-    # J qvel per contact row: gather per-tree velocity slots
     qvel_tree = jnp.zeros((t.ntree + 1, mt), dtype).at[t.dof_tree, t.dof_treeidx].set(state.qvel)
-
-    def rowvel(tr1, J1, tr2, J2):
-        return J1 @ qvel_tree[tr1] + J2 @ qvel_tree[tr2]
-
-    jv = jax.vmap(rowvel)(con.tree1, con.J1, con.tree2, con.J2)   # (K, 6)
+    jv = rows_dot(qvel_tree)                                      # (K, 6)
     pos_term = jnp.concatenate(
         [r[:, None], jnp.zeros((K, 5), dtype)], axis=1
     )
     aref = -bs[:, None] * jv - (ks * imp)[:, None] * pos_term
 
     # ---- exact per-contact Delassus blocks G = sum_side J M^-1 J^T
-    def solve_tree(tr, Jt):
-        # M^-1 J^T for one side: (mt, 6); static side -> zeros via J zeros
-        L = chol_m[jnp.minimum(tr, t.ntree - 1)]
-        y = jax.scipy.linalg.solve_triangular(L, Jt.T, lower=True)
-        x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
-        return jnp.where(tr == t.ntree, jnp.zeros_like(x), x)
-
-    def delassus(tr1, J1, tr2, J2):
-        x1 = solve_tree(tr1, J1)
-        x2 = solve_tree(tr2, J2)
-        return J1 @ x1 + J2 @ x2
-
-    G = jax.vmap(delassus)(con.tree1, con.J1, con.tree2, con.J2)  # (K, 6, 6)
+    Mi1 = jnp.einsum("kt,tmn->kmn", T1, minv_pad)     # (K, mt, mt)
+    Mi2 = jnp.einsum("kt,tmn->kmn", T2, minv_pad)
+    G = (jnp.einsum("krm,kmn,ksn->krs", con.J1, Mi1, con.J1)
+         + jnp.einsum("krm,kmn,ksn->krs", con.J2, Mi2, con.J2))  # (K, 6, 6)
     diagA = jnp.diagonal(G, axis1=-2, axis2=-1)
     # a contact whose normal row has (numerically) zero Delassus diagonal
     # cannot be resisted by any dof (e.g. a vertical force on a body whose only
@@ -365,9 +429,7 @@ def constraint_forces(model: Model, state: State, kin: Kin, chol_m: jax.Array,
 
     # ---- b vector: J qacc_smooth - aref
     qacc_tree = jnp.zeros((t.ntree + 1, mt), dtype).at[t.dof_tree, t.dof_treeidx].set(qacc_smooth)
-    b_con = jax.vmap(lambda tr1, J1, tr2, J2: J1 @ qacc_tree[tr1] + J2 @ qacc_tree[tr2])(
-        con.tree1, con.J1, con.tree2, con.J2
-    ) - aref
+    b_con = rows_dot(qacc_tree) - aref
 
     Gm = jnp.where(con.dim_mask[:, :, None] & con.dim_mask[:, None, :], G, 0.0)
     rowmask = con.dim_mask & active[:, None]
@@ -393,22 +455,23 @@ def constraint_forces(model: Model, state: State, kin: Kin, chol_m: jax.Array,
     # ---- scalar (equality + limit) rows, solved jointly with the contacts
     srows = _scalar_rows(model, state)
     if srows is not None:
+        from mujoco_rl_ur5_tpu.physics.dynamics import minv_apply
+
         Js, aref_s, imp_s, act_s, lb_s = srows
         S = Js.shape[0]
-        AinvJsT = jax.vmap(
-            lambda row: _solve_dof(model, chol_m, row))(Js)     # (S, nv)
+        AinvJsT = jax.vmap(lambda row: minv_apply(model, minv, row))(Js)
         diagAs = jnp.einsum("sv,sv->s", Js, AinvJsT)
         R_s = (1.0 - imp_s) / imp_s * jnp.maximum(diagAs, 1e-10)
         b_s = Js @ qacc_smooth - aref_s
 
-    # ---- matvec A f over all constraint families
+    # ---- matvec A f over all constraint families (pure einsums: the
+    # scatter-adds here were the VMEM-write-bound hot spot of the solver
+    # loop; T^T-matmuls do the same reduction on the MXU)
     def scatter_forces(f_con):
-        F = jnp.zeros((t.ntree + 1, mt), dtype)
         contrib1 = jnp.einsum("krm,kr->km", con.J1, f_con)
         contrib2 = jnp.einsum("krm,kr->km", con.J2, f_con)
-        F = F.at[con.tree1].add(contrib1)
-        F = F.at[con.tree2].add(contrib2)
-        return F
+        return (jnp.einsum("kt,km->tm", T1, contrib1)
+                + jnp.einsum("kt,km->tm", T2, contrib2))
 
     def scatter_scalar(f_s):
         qfrc_s = Js.T @ f_s                                     # (nv,)
@@ -416,23 +479,16 @@ def constraint_forces(model: Model, state: State, kin: Kin, chol_m: jax.Array,
                 .at[t.dof_tree, t.dof_treeidx].set(qfrc_s))
 
     def minv_tree(F):
-        y = jax.lax.linalg.triangular_solve(
-            chol_m, F[: t.ntree, :, None], left_side=True, lower=True
-        )
-        x = jax.lax.linalg.triangular_solve(
-            chol_m, y, left_side=True, lower=True, transpose_a=True
-        )[..., 0]
+        x = jnp.einsum("tij,tj->ti", minv, F[: t.ntree])
         return jnp.concatenate([x, jnp.zeros((1, mt), dtype)])
 
     def matvec_all(f_con, f_s):
-        """Coupled A-matvec over contacts + scalar rows: one M^-1 solve."""
+        """Coupled A-matvec over contacts + scalar rows: one M^-1 apply."""
         F = scatter_forces(f_con)
         if srows is not None:
             F = F + scatter_scalar(f_s)
         X = minv_tree(F)
-        a_con = jax.vmap(
-            lambda tr1, J1, tr2, J2: J1 @ X[tr1] + J2 @ X[tr2])(
-            con.tree1, con.J1, con.tree2, con.J2)
+        a_con = rows_dot(X)
         if srows is None:
             return a_con, None
         xdof = X[: t.ntree][t.dof_tree, t.dof_treeidx]          # (nv,)
@@ -539,9 +595,5 @@ def constraint_forces(model: Model, state: State, kin: Kin, chol_m: jax.Array,
     return qfrc, con
 
 
-def _solve_dof(model: Model, chol_m, qfrc):
-    from mujoco_rl_ur5_tpu.physics.dynamics import solve_blocks
-
-    return solve_blocks(model, chol_m, qfrc)
 
 

@@ -165,20 +165,57 @@ def rne_bias(model: Model, kin: Kin, cinert: jax.Array, qvel: jax.Array) -> jax.
 
 
 def factor_blocks(blocks: jax.Array) -> jax.Array:
-    return jnp.linalg.cholesky(blocks)
+    """Per-tree Cholesky factors via the unrolled small-block kernel.
+
+    ``jnp.linalg.cholesky`` lowers to a TPU custom-call costing ~8.5 ms at
+    (256*41, 8, 8) — profiled at ~30% of the whole contact step; the
+    unrolled version fuses into a few VPU kernels (ops/blockchol.py)."""
+    from mujoco_rl_ur5_tpu.ops.blockchol import chol_small
+
+    return chol_small(blocks)
 
 
 def solve_blocks(model: Model, chol: jax.Array, vec: jax.Array) -> jax.Array:
     """x = M^-1 vec using the per-tree Cholesky factors."""
+    from mujoco_rl_ur5_tpu.ops.blockchol import cho_solve_small
+
     t = model.topo
     mt = t.mtdof
     v = jnp.zeros((t.ntree, mt), vec.dtype).at[t.dof_tree, t.dof_treeidx].set(vec)
-    y = jax.lax.linalg.triangular_solve(
-        chol, v[..., None], left_side=True, lower=True, transpose_a=False
-    )
-    x = jax.lax.linalg.triangular_solve(
-        chol, y, left_side=True, lower=True, transpose_a=True
-    )[..., 0]
+    x = cho_solve_small(chol, v[..., None])[..., 0]
+    return x[t.dof_tree, t.dof_treeidx]
+
+
+def inv_blocks(blocks: jax.Array) -> jax.Array:
+    """Explicit per-tree M^-1 blocks. Constraint solving applies M^-1
+    hundreds of times per step (Delassus blocks, every solver iteration);
+    one explicit inverse turns all of those into einsums on the MXU instead
+    of triangular-solve custom-calls.
+
+    The inversion is Jacobi-EQUILIBRATED: the arm tree block mixes ~20 kg
+    link masses with ~1e-6 kg m^2 finger inertias (cond ~1e7), and a plain
+    f32 explicit inverse carries O(cond * eps) ~ O(1) relative error — it
+    destabilized the contact solver after pile settling (exponential
+    velocity blowup ~step 800, seen in the verify drive). Inverting
+    D^-1/2 M D^-1/2 (cond ~1e2) and unscaling keeps every entry accurate.
+    """
+    from mujoco_rl_ur5_tpu.ops.blockchol import chol_small, cho_solve_small
+
+    mt = blocks.shape[-1]
+    d = jnp.diagonal(blocks, axis1=-2, axis2=-1)
+    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+    scaled = blocks * s[..., :, None] * s[..., None, :]
+    eye = jnp.broadcast_to(jnp.eye(mt, dtype=blocks.dtype), blocks.shape)
+    inv_scaled = cho_solve_small(chol_small(scaled), eye)
+    return inv_scaled * s[..., :, None] * s[..., None, :]
+
+
+def minv_apply(model: Model, minv: jax.Array, vec: jax.Array) -> jax.Array:
+    """x = M^-1 vec using the explicit per-tree inverse blocks."""
+    t = model.topo
+    mt = t.mtdof
+    v = jnp.zeros((t.ntree, mt), vec.dtype).at[t.dof_tree, t.dof_treeidx].set(vec)
+    x = jnp.einsum("tij,tj->ti", minv, v)
     return x[t.dof_tree, t.dof_treeidx]
 
 
@@ -237,7 +274,18 @@ def forward(model: Model, state: State, ncon: int = 0, iterations: int = 30):
     equality/limit rows are then also skipped, giving pure smooth dynamics).
     The constraint solve runs against M (MuJoCo convention); integration uses
     M + h*diag(damping).
+
+    All matmuls/einsums in the pipeline (including the one-hot table
+    lookups in the contact solver) run at float32 matmul precision: the
+    TPU default lowers f32 dots to single-pass bf16, which would quantize
+    positions fetched through one-hot matmuls by ~0.4% (millimetres at
+    workspace scale) and inject like-sized errors into contact forces.
     """
+    with jax.default_matmul_precision("float32"):
+        return _forward_impl(model, state, ncon, iterations)
+
+
+def _forward_impl(model: Model, state: State, ncon: int, iterations: int):
     t = model.topo
     h = t.timestep
     kin = fk(model, state.qpos)
@@ -265,10 +313,10 @@ def forward(model: Model, state: State, ncon: int = 0, iterations: int = 30):
     if ncon > 0:
         from mujoco_rl_ur5_tpu.physics.constraints import constraint_forces
 
-        chol_m = factor_blocks(mblocks)
-        qacc_smooth = solve_blocks(model, chol_m, qfrc_smooth)
+        minv = inv_blocks(mblocks)
+        qacc_smooth = minv_apply(model, minv, qfrc_smooth)
         qfrc_constraint, contacts = constraint_forces(
-            model, state, kin, chol_m, qacc_smooth, ncon, iterations
+            model, state, kin, minv, qacc_smooth, ncon, iterations
         )
     qacc = solve_blocks(model, chol_mhb, qfrc_smooth + qfrc_constraint)
     return qacc, kin, contacts

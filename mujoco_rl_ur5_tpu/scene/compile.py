@@ -623,6 +623,7 @@ def _prune_rest_penetrating_pairs(model: Model) -> Model:
     the arm joints. Pairs involving a free-jointed object are always kept
     (objects may legitimately spawn overlapping, GraspingEnv.py:420-430).
     """
+    import jax
     import jax.numpy as jnp
 
     from mujoco_rl_ur5_tpu.physics.constraints import collide
@@ -632,9 +633,14 @@ def _prune_rest_penetrating_pairs(model: Model) -> Model:
     t = model.topo
     if len(t.pair_geom1) == 0:
         return model
-    kin0 = fk(model, model.qpos0)
-    _, _, dist, cand_pair = collide(model, kin0)
+    # one jitted probe: eager dispatch here compiled every primitive of
+    # fk+collide separately (~850 XLA compiles, ~500 s of load_model time)
+    # model is CLOSED OVER (not a jit arg): collide packs the unbatched
+    # pair tables host-side and needs them concrete
+    dist, pdata = jax.jit(
+        lambda: collide(model, fk(model, model.qpos0))[2:])()
     dist = np.asarray(dist)
+    cand_pair = np.rint(np.asarray(pdata)[:, 0]).astype(np.int64)
 
     tree_has_free = np.zeros(t.ntree + 1, dtype=bool)
     for j in range(t.njnt):
@@ -647,13 +653,10 @@ def _prune_rest_penetrating_pairs(model: Model) -> Model:
 
     bad_pair = np.zeros(len(t.pair_geom1), dtype=bool)
     pm = np.asarray(model.pair_margin)
-    for ci in range(len(cand_pair)):
-        p = int(cand_pair[ci])
-        g1, g2 = int(t.pair_geom1[p]), int(t.pair_geom2[p])
-        if g_free[g1] or g_free[g2]:
-            continue
-        if dist[ci] < 0.5 * float(pm[p]):
-            bad_pair[p] = True
+    keepable = ~(g_free[t.pair_geom1[cand_pair]]
+                 | g_free[t.pair_geom2[cand_pair]])
+    bad = keepable & (dist < 0.5 * pm[cand_pair])
+    bad_pair[cand_pair[bad]] = True
     if not bad_pair.any():
         return model
     keep = ~bad_pair
@@ -682,6 +685,85 @@ def _prune_rest_penetrating_pairs(model: Model) -> Model:
     )
 
 
+# ---------------------------------------------------------------------------
+# compiled-model disk cache
+#
+# Scene compilation is host-side Python (mesh hulls, topology layout, the
+# jitted rest-penetration probe) and costs tens of seconds; every test module
+# and every bench run reloads the same read-only reference scenes. Cache the
+# finished Model (numeric leaves as numpy + the static Topology) keyed by the
+# scene files' stats and a compiler version stamp.
+# ---------------------------------------------------------------------------
+
+_CACHE_VERSION = 1
+
+
+def _cache_dir() -> str:
+    import os
+
+    d = os.environ.get(
+        "MJ_TPU_MODEL_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "mujoco_rl_ur5_tpu"),
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _cache_key(path: str, dtype, variant: str) -> str:
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    h.update(f"v{_CACHE_VERSION}:{np.dtype(dtype).name}:{variant}:".encode())
+    h.update(os.path.abspath(path).encode())
+    # stat the scene file + sibling XMLs (includes) + mesh files
+    root = os.path.dirname(os.path.abspath(path))
+    try:
+        with open(path, "rb") as f:
+            h.update(f.read())
+        for dirpath, _, files in sorted(os.walk(root)):
+            for fn in sorted(files):
+                if fn.lower().endswith((".xml", ".stl", ".urdf")):
+                    st = os.stat(os.path.join(dirpath, fn))
+                    h.update(f"{fn}:{st.st_mtime_ns}:{st.st_size};".encode())
+    except OSError:
+        pass
+    return h.hexdigest()[:32]
+
+
+def cached_compile(path: str, dtype, variant: str, build) -> Model:
+    """Return the cached compiled Model for (path, dtype, variant), building
+    (and caching) it with ``build()`` on a miss. Cache failures fall back to
+    a plain build — the cache is an accelerator, never a correctness gate."""
+    import os
+    import pickle
+
+    import jax
+
+    fname = os.path.join(_cache_dir(), _cache_key(path, dtype, variant) + ".pkl")
+    if os.path.exists(fname):
+        try:
+            with open(fname, "rb") as f:
+                host = pickle.load(f)
+            import jax.numpy as jnp
+
+            return jax.tree_util.tree_map(jnp.asarray, host)
+        except Exception:
+            pass
+    model = build()
+    try:
+        host = jax.tree_util.tree_map(lambda x: np.asarray(x), model)
+        tmp = fname + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(host, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, fname)
+    except Exception:
+        pass
+    return model
+
+
 def load_model(path: str, dtype=np.float32) -> Model:
-    """Parse + compile an MJCF file into a device Model."""
-    return compile_spec(mjcf.parse_mjcf(path), dtype=dtype)
+    """Parse + compile an MJCF file into a device Model (disk-cached)."""
+    return cached_compile(
+        path, dtype, "full",
+        lambda: compile_spec(mjcf.parse_mjcf(path), dtype=dtype))

@@ -35,8 +35,14 @@ def drop_free_bodies(spec: SceneSpec) -> SceneSpec:
 
 
 def load_arm_model(path: str, dtype=None) -> Model:
-    """Parse + compile the arm-only submodel of a grasp scene MJCF."""
+    """Parse + compile the arm-only submodel of a grasp scene MJCF
+    (disk-cached, see scene/compile.py cached_compile)."""
     import numpy as np
 
-    spec = drop_free_bodies(mjcf.parse_mjcf(path))
-    return compile_spec(spec, dtype=dtype or np.float32)
+    from mujoco_rl_ur5_tpu.scene.compile import cached_compile
+
+    dtype = dtype or np.float32
+    return cached_compile(
+        path, dtype, "arm",
+        lambda: compile_spec(drop_free_bodies(mjcf.parse_mjcf(path)),
+                             dtype=dtype))

@@ -169,3 +169,47 @@ def test_pile_settles_like_mujoco(model, mj):
         int(in_mine.sum()), int(in_ref.sum()))
     # nothing below the ground plane by more than a few mm
     assert zs.min() > -0.01
+
+
+def test_pile_long_roll_stays_bounded(model):
+    """Late-time stability regression at the bench configuration
+    (ncon=256, iterations=30): an inaccurate explicit M^-1 (round-3
+    un-equilibrated f32 inverse) fed ~O(1)-error Delassus/matvec values to
+    the solver and velocities blew up exponentially AFTER the pile settled
+    (~step 800) — a window the 2000-step it=40 parity test above happened
+    to miss. scan-based roll, seeds chosen to reproduce the blowup."""
+    t = model.topo
+    B = 2
+    qpos = np.stack([_pile_qpos(model, seed=s) for s in (3, 7)])
+    state = make_state(model, (B,)).replace(qpos=jnp.asarray(qpos))
+
+    @jax.jit
+    def roll(s):
+        def body(s, _):
+            s2 = jax.vmap(lambda x: dynamics.step(
+                model, x, ncon=256, iterations=30))(s)
+            return s2, jnp.max(jnp.abs(s2.qvel))
+        return jax.lax.scan(body, s, None, length=1000)
+
+    out, vmaxs = roll(state)
+    assert np.isfinite(np.asarray(out.qpos)).all()
+    assert np.isfinite(np.asarray(out.qvel)).all()
+    # settled (in-workspace) objects must be at rest; spawn-overlap ejections
+    # (an object launched by a deep random-quaternion interpenetration) are
+    # chaotic and happen in BOTH engines — bound their count, not velocity
+    qp, qv = np.asarray(out.qpos), np.asarray(out.qvel)
+    ejected, settled_vmax = 0, 0.0
+    for b in range(B):
+        for j in _free_joints(t):
+            qa, da = int(t.jnt_qposadr[j]), int(t.jnt_dofadr[j])
+            p = qp[b, qa:qa + 3]
+            in_ws = (abs(p[0]) < 1.5) and (-1.5 < p[1] < 0.5) and (0.0 < p[2] < 1.5)
+            if in_ws:
+                settled_vmax = max(settled_vmax, float(np.abs(qv[b, da:da + 6]).max()))
+            else:
+                ejected += 1
+    assert ejected <= 3 * B, f"{ejected} objects ejected"
+    # residual spin after an ejection-and-return decays slowly (rolling
+    # friction 1e-4); the regression signature was exponential growth to
+    # 1e6+/NaN, so the bound only needs to exclude that regime
+    assert settled_vmax < 200.0, f"in-workspace vmax {settled_vmax}"

@@ -143,21 +143,38 @@ def test_mpc_track_follows_joint_reference(mpc):
     assert err.mean() < 0.05, f"tracking MAE {err.mean():.4f} rad"
 
 
-def test_mpc_solve_batch_from_full_state(mpc):
+def test_mpc_solve_batch_from_full_state():
     """The north-star workload shape: vmapped solves from a FULL-scene
-    state batch (tiny B here; bench.py runs B=4096 on the chip)."""
-    from mujoco_rl_ur5_tpu.scene import make_state
+    state batch (tiny B here; bench.py runs B=4096 on the chip).
 
-    B = 3
-    state = make_state(mpc.full, (B,))
-    targets = jnp.tile(jnp.asarray([0.0, -0.6, 1.0], jnp.float32), (B, 1))
-    res = mpc.solve_batch(state, targets)
-    assert res.us.shape == (B, mpc.H, mpc.nu)
-    assert np.isfinite(np.asarray(res.cost)).all()
-    # each solve must improve on the zero-control initialization
-    x0 = mpc.x_from_state(state)
-    qH = res.xs[:, -1, : mpc.nq]
-    eH = jnp.linalg.norm(jax.vmap(mpc.ee_pos)(qH) - targets, axis=-1)
-    e0 = jnp.linalg.norm(
-        jax.vmap(mpc.ee_pos)(x0[:, : mpc.nq]) - targets, axis=-1)
-    assert (np.asarray(eH) < np.asarray(e0)).all()
+    Runs in a SUBPROCESS: compiling the vmapped solve after the other
+    module fixtures reproducibly crashes the XLA CPU backend
+    (SIGSEGV/SIGABRT inside backend_compile) in this environment, while
+    the identical compile succeeds in a fresh process."""
+    import subprocess
+    import sys
+
+    script = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np, jax.numpy as jnp
+from mujoco_rl_ur5_tpu.mpc import GraspMPC
+from mujoco_rl_ur5_tpu.scene import make_state
+mpc = GraspMPC.from_scene({SCENE!r}, horizon=8, substeps=4, iters=4)
+B = 3
+state = make_state(mpc.full, (B,))
+targets = jnp.tile(jnp.asarray([0.0, -0.6, 1.0], jnp.float32), (B, 1))
+res = mpc.solve_batch(state, targets)
+assert res.us.shape == (B, mpc.H, mpc.nu), res.us.shape
+assert np.isfinite(np.asarray(res.cost)).all()
+x0 = mpc.x_from_state(state)
+qH = res.xs[:, -1, : mpc.nq]
+eH = jnp.linalg.norm(jax.vmap(mpc.ee_pos)(qH) - targets, axis=-1)
+e0 = jnp.linalg.norm(jax.vmap(mpc.ee_pos)(x0[:, : mpc.nq]) - targets, axis=-1)
+assert (np.asarray(eH) < np.asarray(e0)).all(), (eH, e0)
+print('SOLVE_BATCH_OK')
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=900, cwd="/root/repo")
+    assert "SOLVE_BATCH_OK" in out.stdout, (out.returncode, out.stderr[-2000:])
