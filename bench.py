@@ -32,6 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mujoco_rl_ur5_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
 SCENE = "/root/reference/UR5+gripper/UR5gripper_2_finger_many_objects.xml"
 TIMESTEP = 0.002
 REALTIME_SOLVES_PER_S = 4096.0 / (64 * TIMESTEP)   # 32,000 (BASELINE target)

@@ -17,7 +17,10 @@ os.environ["XLA_FLAGS"] = (
 import jax
 import pytest
 
+from mujoco_rl_ur5_tpu.utils.cache import enable_compile_cache
+
 jax.config.update("jax_platforms", "cpu")
+enable_compile_cache()
 
 REF = "/root/reference/UR5+gripper"
 
