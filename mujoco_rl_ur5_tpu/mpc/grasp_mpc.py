@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mujoco_rl_ur5_tpu.mpc.ilqr import ILQRResult, ilqr
+from mujoco_rl_ur5_tpu.mpc.pallas_ilqr import ilqr_chain_batch
 from mujoco_rl_ur5_tpu.physics.chain import (
     chain_body_pos, chain_hold_ctrl, chain_step, make_chain_plan,
 )
@@ -56,12 +57,18 @@ class GraspMPC:
     def __init__(self, model: Model, horizon: int = 64, substeps: int = 8,
                  iters: int = 6, weights: MPCWeights = MPCWeights(),
                  arm_model: Optional[Model] = None, parallel: bool = True,
-                 lin_chunks: int = 8):
+                 lin_chunks: int = 8, use_pallas: Optional[bool] = None):
         """``model`` may be the FULL scene model (for index mapping from env
         states); planning runs on ``arm_model`` (auto-reduced when the full
         model still contains free bodies is not possible from a compiled
         Model — pass one from scene.reduce.load_arm_model, or give the scene
-        path via from_scene)."""
+        path via from_scene).
+
+        ``use_pallas`` routes the BATCHED solves (solve_batch / track_batch)
+        through the fused-kernel iLQR (mpc/pallas_ilqr.py) instead of the
+        vmapped generic one; default auto-enables on TPU (interpret-mode
+        pallas on CPU is only for the kernel gate tests — it is far slower
+        than the vmapped path there)."""
         self.full = model
         self.arm = arm_model if arm_model is not None else model
         t = self.arm.topo
@@ -98,6 +105,8 @@ class GraspMPC:
         # straight-line unrolled dynamics for the solve hot path
         # (physics/chain.py; parity-gated vs dynamics.step in tests)
         self.plan = make_chain_plan(self.arm)
+        self.use_pallas = (jax.default_backend() == "tpu"
+                           if use_pallas is None else use_pallas)
 
     @classmethod
     def from_scene(cls, path: str, **kw) -> "GraspMPC":
@@ -109,10 +118,19 @@ class GraspMPC:
 
     def dyn_step(self, x: jax.Array, u: jax.Array) -> jax.Array:
         """One MPC knot = `substeps` smooth physics steps of the arm
-        (unrolled straight-line chain dynamics, physics/chain.py)."""
+        (straight-line chain dynamics, physics/chain.py). The substeps run
+        under `lax.scan`, not a Python unroll: the iLQR traces this through
+        jacfwd/hessian at every knot, and an unrolled 12-substep body
+        multiplied the compiled program enough to take XLA:CPU past its
+        limits (the r03 suite-killing backend_compile crash) and TPU
+        first-compile past 470 s. The fused Pallas path (use_pallas)
+        bypasses this function entirely for batched solves."""
         q, v = x[: self.nq], x[self.nq:]
-        for _ in range(self.substeps):
-            q, v = chain_step(self.plan, q, v, u)
+
+        def body(qv, _):
+            return chain_step(self.plan, qv[0], qv[1], u), None
+
+        (q, v), _ = jax.lax.scan(body, (q, v), None, length=self.substeps)
         return jnp.concatenate([q, v])
 
     def ee_pos(self, qpos: jax.Array) -> jax.Array:
@@ -188,9 +206,42 @@ class GraspMPC:
     @partial(jax.jit, static_argnums=0)
     def solve_batch(self, state: State, targets: jax.Array) -> ILQRResult:
         """Batched solve from a FULL-scene State batch: the north-star
-        workload (B scenarios x H knots on one chip)."""
+        workload (B scenarios x H knots on one chip). Routed through the
+        fused-kernel iLQR on TPU (use_pallas; mpc/pallas_ilqr.py)."""
         x0 = self.x_from_state(state)
+        return self.solve_batch_x(x0, targets)
+
+    @partial(jax.jit, static_argnums=0)
+    def solve_batch_x(self, x0: jax.Array, targets: jax.Array) -> ILQRResult:
+        """Batched reach solve from raw MPC states x0 (B, nx)."""
+        if self.use_pallas:
+            u_init = jax.vmap(
+                lambda x: jnp.tile(self.hold_ctrl(x[: self.nq])[None],
+                                   (self.H, 1)))(x0)
+            refs = jnp.tile(targets[:, None], (1, self.H, 1))
+            return ilqr_chain_batch(
+                self.plan, self.substeps, self._reach_stage,
+                self._reach_term, x0, u_init, refs, targets,
+                iters=self.iters)
         return jax.vmap(lambda x, t: self.solve(x, t))(x0, targets)
+
+    @partial(jax.jit, static_argnums=0)
+    def track_batch(self, x0: jax.Array, q_refs: jax.Array,
+                    qd_refs: Optional[jax.Array] = None) -> ILQRResult:
+        """Batched tracking solves: x0 (B, nx), q_refs (B, H+1, nq)."""
+        if qd_refs is None:
+            qd_refs = jnp.zeros_like(q_refs)
+        if self.use_pallas:
+            u_init = jax.vmap(
+                lambda x: jnp.tile(self.hold_ctrl(x[: self.nq])[None],
+                                   (self.H, 1)))(x0)
+            refs = (q_refs[:, :-1], qd_refs[:, :-1])
+            term_ref = (q_refs[:, -1], qd_refs[:, -1])
+            return ilqr_chain_batch(
+                self.plan, self.substeps, self._track_stage,
+                self._track_term, x0, u_init, refs, term_ref,
+                iters=self.iters)
+        return jax.vmap(self.track)(x0, q_refs, qd_refs)
 
     @partial(jax.jit, static_argnums=0)
     def track(self, x0: jax.Array, q_refs: jax.Array,

@@ -21,11 +21,17 @@ Design (see /opt/skills/guides/pallas_guide.md):
   * Three kernels reuse the same generated substep:
       - rollout_open:   H sequential knots in ONE kernel launch;
       - rollout_closed: the full line search — every alpha's closed-loop
-        rollout u = ub + a d + K (x - xb) — in ONE kernel, H chunked over
-        the grid with the (q, v) state carried in VMEM scratch so the
-        (B, H, nu, nx) gain tensor never exceeds the VMEM budget;
-      - lin_fd: forward-difference linearization, 24 perturbed knot
-        evaluations per instance, fully parallel over B x H.
+        rollout u = ub + a d + K (x - xb) — in ONE kernel launch, with
+        (alpha, horizon-chunk) as grid axes and the per-alpha (q, v) state
+        carried in VMEM scratch, so the (B, H, nu, nx) gain tensor streams
+        through VMEM chunk by chunk instead of blowing the budget;
+      - lin_fd: forward-difference linearization; the perturbation index
+        is a grid axis (nx+nu+1 rollouts of one knot each), differenced
+        host-side — fully parallel over B x H.
+  * Kernel BODIES are kept small (one knot = a fori_loop over substeps of
+    one generated substep, ~2k vector stmts): Mosaic compile time scales
+    with the emitted statement count, so the H knots / FD perturbations /
+    line-search alphas all live on the sequential grid, not in the body.
   * The same generated substep runs unchanged OUTSIDE pallas (any array
     shape broadcasts), which is how tests gate it against
     `chain_step` (tests/test_pallas_chain.py) without TPU hardware.
@@ -370,13 +376,28 @@ def make_substep(plan: ChainPlan):
     return substep
 
 
-def make_knot_step(plan: ChainPlan, substeps: int):
+def make_knot_step(plan: ChainPlan, substeps: int, unroll: bool = False):
+    """One MPC knot = `substeps` generated substeps.
+
+    The default rolls the substeps with `fori_loop` so the emitted kernel
+    body stays ~one substep long (Mosaic compile time is proportional to
+    the statement count; an unrolled 12-substep body already takes minutes).
+    ``unroll=True`` keeps the straight-line form for callers that feed
+    constant entries and want them folded."""
     substep = make_substep(plan)
 
     def knot(q, v, u):
-        for _ in range(substeps):
-            q, v = substep(q, v, u)
-        return q, v
+        if unroll:
+            for _ in range(substeps):
+                q, v = substep(q, v, u)
+            return q, v
+
+        def body(_, qv):
+            q2, v2 = substep(list(qv[0]), list(qv[1]), u)
+            return (tuple(q2), tuple(v2))
+
+        q, v = jax.lax.fori_loop(0, substeps, body, (tuple(q), tuple(v)))
+        return list(q), list(v)
 
     return knot
 
@@ -468,13 +489,17 @@ def rollout_open(plan: ChainPlan, substeps: int, x0: jax.Array,
 def rollout_closed(plan: ChainPlan, substeps: int, x0: jax.Array,
                    xbar: jax.Array, ubar: jax.Array, K: jax.Array,
                    d: jax.Array, alphas: tuple) -> tuple:
-    """Line-search rollouts for ALL alphas in one kernel.
+    """Line-search rollouts for ALL alphas in one kernel launch.
 
     x0 (B, nx), xbar (B, H+1, nx), ubar (B, H, nu), K (B, H, nu, nx),
     d (B, H, nu) -> xs (B, A, H+1, nx), us (B, A, H, nu) where
-    A = len(alphas). u = clip(ubar + a*d + K (x - xbar)). The horizon is
-    chunked over the grid (the gain tensor would blow the VMEM budget
-    whole); the per-alpha (q, v) state carries across chunks in scratch.
+    A = len(alphas). u = clip(ubar + a*d + K (x - xbar)).
+
+    Grid = (tile, alpha, horizon-chunk): the body is ONE knot per loop
+    iteration (small Mosaic program), the gain tensor streams through VMEM
+    one CH-knot chunk at a time, and the per-alpha (q, v) state carries
+    across chunks in scratch (chunk axis is fastest, so each alpha's
+    rollout completes before the next alpha reuses the scratch).
     """
     nv, nu = plan.nv, plan.nu
     nx = 2 * nv
@@ -490,38 +515,41 @@ def rollout_closed(plan: ChainPlan, substeps: int, x0: jax.Array,
     if H % HC:
         HC = H  # degenerate fallback: one knot per grid step
     CH = H // HC
+    alphas_arr = jnp.asarray(alphas, jnp.float32)
 
-    def kernel(x0_ref, xb_ref, ub_ref, K_ref, d_ref, xs_ref, us_ref, qv):
-        j = pl.program_id(1)
+    def kernel(al_ref, x0_ref, xb_ref, ub_ref, K_ref, d_ref,
+               xs_ref, us_ref, qv):
+        a = pl.program_id(1)
+        j = pl.program_id(2)
+        alpha = al_ref[a]
 
         @pl.when(j == 0)
         def _():
-            for a in range(A):
-                for i in range(nx):
-                    qv[a, i] = x0_ref[0, i]
-                    xs_ref[0, a, 0, i] = x0_ref[0, i]
+            for i in range(nx):
+                qv[i] = x0_ref[0, i]
+        for i in range(nx):
+            xs_ref[0, 0, 0, i] = qv[i]
 
         def body(kk, _):
-            for a in range(A):
-                q = [qv[a, i] for i in range(nv)]
-                v = [qv[a, nv + i] for i in range(nv)]
-                x = q + v
-                u = []
-                for jj in range(nu):
-                    acc = sadd(
-                        ub_ref[0, kk, jj],
-                        smul(float(alphas[a]), d_ref[0, kk, jj]),
-                        *[smul(K_ref[0, kk, jj, i],
-                               ssub(x[i], xb_ref[0, kk, i]))
-                          for i in range(nx)])
-                    u.append(jnp.clip(acc, lo[jj], hi[jj]))
-                    us_ref[0, a, kk, jj] = u[jj]
-                q, v = knot(q, v, u)
-                for i in range(nv):
-                    qv[a, i] = q[i]
-                    qv[a, nv + i] = v[i]
-                    xs_ref[0, a, kk + 1, i] = q[i]
-                    xs_ref[0, a, kk + 1, nv + i] = v[i]
+            q = [qv[i] for i in range(nv)]
+            v = [qv[nv + i] for i in range(nv)]
+            x = q + v
+            u = []
+            for jj in range(nu):
+                acc = sadd(
+                    ub_ref[0, kk, jj],
+                    alpha * d_ref[0, kk, jj],
+                    *[smul(K_ref[0, kk, jj, i],
+                           ssub(x[i], xb_ref[0, kk, i]))
+                      for i in range(nx)])
+                u.append(jnp.clip(acc, lo[jj], hi[jj]))
+                us_ref[0, 0, kk, jj] = u[jj]
+            q, v = knot(q, v, u)
+            for i in range(nv):
+                qv[i] = q[i]
+                qv[nv + i] = v[i]
+                xs_ref[0, 0, kk + 1, i] = q[i]
+                xs_ref[0, 0, kk + 1, nv + i] = v[i]
             return 0
 
         jax.lax.fori_loop(0, CH, body, 0)
@@ -533,38 +561,42 @@ def rollout_closed(plan: ChainPlan, substeps: int, x0: jax.Array,
     dt_ = to_tiles(d)
     T = x0t.shape[0]
     # xs blocks overlap by one knot (chunk j writes knots j*CH..j*CH+CH);
-    # allocate H+1 and write chunk-start via index map on the knot axis.
+    # allocate HC*(CH+1) and un-chunk after.
     xs, us = pl.pallas_call(
         kernel,
-        grid=(T, HC),
+        grid=(T, A, HC),
         in_specs=[
-            pl.BlockSpec((1, nx) + TILE, lambda t, j: (t, 0, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nx) + TILE, lambda t, a, j: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CH, nx) + TILE, lambda t, j: (t, j, 0, 0, 0),
+            pl.BlockSpec((1, CH, nx) + TILE,
+                         lambda t, a, j: (t, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CH, nu) + TILE, lambda t, j: (t, j, 0, 0, 0),
+            pl.BlockSpec((1, CH, nu) + TILE,
+                         lambda t, a, j: (t, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CH, nu, nx) + TILE,
-                         lambda t, j: (t, j, 0, 0, 0, 0),
+                         lambda t, a, j: (t, j, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CH, nu) + TILE, lambda t, j: (t, j, 0, 0, 0),
+            pl.BlockSpec((1, CH, nu) + TILE,
+                         lambda t, a, j: (t, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, A, CH + 1, nx) + TILE,
-                         lambda t, j: (t, 0, j, 0, 0, 0),
+            pl.BlockSpec((1, 1, CH + 1, nx) + TILE,
+                         lambda t, a, j: (t, a, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, CH, nu) + TILE,
-                         lambda t, j: (t, 0, j, 0, 0, 0),
+            pl.BlockSpec((1, 1, CH, nu) + TILE,
+                         lambda t, a, j: (t, a, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((T, A, HC * (CH + 1), nx) + TILE, x0.dtype),
             jax.ShapeDtypeStruct((T, A, H, nu) + TILE, x0.dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((A, nx) + TILE, x0.dtype)],
+        scratch_shapes=[pltpu.VMEM((nx,) + TILE, x0.dtype)],
         interpret=_interpret(),
-    )(x0t, xbt, ubt, Kt, dt_)
+    )(alphas_arr, x0t, xbt, ubt, Kt, dt_)
     # un-chunk the state axis: blocks of CH+1 knots overlap by one
     xs = from_tiles(xs, B)               # (B, A, HC*(CH+1), nx)
     xs = xs.reshape(B, A, HC, CH + 1, nx)
@@ -581,10 +613,11 @@ def lin_fd(plan: ChainPlan, substeps: int, xs: jax.Array,
     """Forward-difference linearization of the knot step.
 
     xs (B, H, nx) knot states, us (B, H, nu) -> F (B, H, nx, nx),
-    L (B, H, nx, nu). All B*H instances evaluate in parallel; each tile
-    runs the base knot plus nx+nu perturbed knots. Step sizes: 1e-3 rad
-    for q, 1e-3 rad/s for v, 1e-3 for u (relative FD error ~1e-4 in f32
-    after equilibration, well under what the LM-regularized iLQR needs).
+    L (B, H, nx, nu). All B*H instances are packed into lane tiles; the
+    grid is (tile, perturbation): each grid cell rolls ONE knot with one
+    input perturbed (or none, the base), and the differences form host-side.
+    Step size 1e-3 (rad / rad/s / ctrl): relative FD error ~1e-4 in f32
+    after equilibration, well under what the LM-regularized iLQR needs.
     """
     nv, nu = plan.nv, plan.nu
     nx = 2 * nv
@@ -592,57 +625,41 @@ def lin_fd(plan: ChainPlan, substeps: int, xs: jax.Array,
     N = B * H
     knot = make_knot_step(plan, substeps)
     EPS = 1e-3
+    P = nx + nu + 1              # perturbation grid axis; p == nx+nu is base
 
-    def kernel(x_ref, u_ref, F_ref, L_ref):
-        q0 = [x_ref[0, i] for i in range(nv)]
-        v0 = [x_ref[0, nv + i] for i in range(nv)]
-        u0 = [u_ref[0, j] for j in range(nu)]
-        bq, bv = knot(list(q0), list(v0), u0)
-        base = bq + bv
-        inv = 1.0 / EPS
-        for p in range(nx):
-            qp = list(q0)
-            vp = list(v0)
-            if p < nv:
-                qp[p] = qp[p] + EPS
-            else:
-                vp[p - nv] = vp[p - nv] + EPS
-            rq, rv = knot(qp, vp, u0)
-            pert = rq + rv
-            for i in range(nx):
-                F_ref[0, i, p] = (pert[i] - base[i]) * inv
-        for p in range(nu):
-            up = list(u0)
-            up[p] = up[p] + EPS
-            rq, rv = knot(list(q0), list(v0), up)
-            pert = rq + rv
-            for i in range(nx):
-                L_ref[0, i, p] = (pert[i] - base[i]) * inv
+    def kernel(x_ref, u_ref, out_ref):
+        p = pl.program_id(1)
+        q = [x_ref[0, i] + jnp.where(p == i, EPS, 0.0) for i in range(nv)]
+        v = [x_ref[0, nv + i] + jnp.where(p == nv + i, EPS, 0.0)
+             for i in range(nv)]
+        u = [u_ref[0, j] + jnp.where(p == nx + j, EPS, 0.0)
+             for j in range(nu)]
+        rq, rv = knot(q, v, u)
+        res = rq + rv
+        for i in range(nx):
+            out_ref[0, 0, i] = res[i]
 
     xt = to_tiles(xs.reshape(N, nx))
     ut = to_tiles(us.reshape(N, nu))
     T = xt.shape[0]
-    F, L = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(T, P),
         in_specs=[
-            pl.BlockSpec((1, nx) + TILE, lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, nx) + TILE, lambda t, p: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nu) + TILE, lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, nu) + TILE, lambda t, p: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, nx, nx) + TILE, lambda t: (t, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nx, nu) + TILE, lambda t: (t, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((T, nx, nx) + TILE, xs.dtype),
-            jax.ShapeDtypeStruct((T, nx, nu) + TILE, xs.dtype),
-        ),
+        out_specs=pl.BlockSpec((1, 1, nx) + TILE,
+                               lambda t, p: (t, p, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, P, nx) + TILE, xs.dtype),
         interpret=_interpret(),
     )(xt, ut)
-    F = from_tiles(F, N).reshape(B, H, nx, nx)
-    L = from_tiles(L, N).reshape(B, H, nx, nu)
+    out = from_tiles(out, N)                      # (N, P, nx)
+    base = out[:, nx + nu]                        # (N, nx)
+    diff = (out[:, : nx + nu] - base[:, None]) * (1.0 / EPS)
+    F = jnp.swapaxes(diff[:, :nx], 1, 2).reshape(B, H, nx, nx)
+    L = jnp.swapaxes(diff[:, nx: nx + nu], 1, 2).reshape(B, H, nx, nu)
     return F, L
