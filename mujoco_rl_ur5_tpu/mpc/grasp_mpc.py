@@ -187,6 +187,62 @@ class GraspMPC:
         dv = x[self.nq:] - ref[1]
         return 0.5 * 20.0 * w.w_track * dq @ dq + 0.5 * w.w_track_vel * dv @ dv
 
+    # -- analytic (Gauss-Newton) quadratizations for the batched solver ------
+
+    def _reach_quad(self, x, u, target):
+        """GN expansion of _reach_stage: FK curvature dropped (standard
+        iLQR practice — PSD by construction, and an order of magnitude
+        cheaper than jax.hessian through the FK)."""
+        w = self.w
+        nq = self.nq
+        q, qd = x[:nq], x[nq:]
+        e = self.ee_pos(q) - target
+        J = jax.jacfwd(self.ee_pos)(q)                      # (3, nq)
+        eye = jnp.eye(nq, dtype=x.dtype)
+        Xq = w.w_ee_run * J.T @ J + w.w_posture * eye
+        X = jax.scipy.linalg.block_diag(Xq, w.w_vel * eye)
+        g = jnp.concatenate([
+            w.w_ee_run * (J.T @ e)
+            + w.w_posture * (q - jnp.asarray(self.home, x.dtype)),
+            w.w_vel * qd,
+        ])
+        U = w.w_ctrl * jnp.eye(self.nu, dtype=x.dtype)
+        return X, g, U, w.w_ctrl * u
+
+    def _reach_term_quad(self, x, target):
+        w = self.w
+        nq = self.nq
+        q, qd = x[:nq], x[nq:]
+        e = self.ee_pos(q) - target
+        J = jax.jacfwd(self.ee_pos)(q)
+        eye = jnp.eye(nq, dtype=x.dtype)
+        XH = jax.scipy.linalg.block_diag(w.w_ee * J.T @ J,
+                                         10.0 * w.w_vel * eye)
+        qH = jnp.concatenate([w.w_ee * (J.T @ e), 10.0 * w.w_vel * qd])
+        return XH, qH
+
+    def _track_quad(self, x, u, ref):
+        """Exact (the tracking cost is already quadratic)."""
+        w = self.w
+        nq = self.nq
+        eye = jnp.eye(nq, dtype=x.dtype)
+        X = jax.scipy.linalg.block_diag(w.w_track * eye,
+                                        w.w_track_vel * eye)
+        g = jnp.concatenate([w.w_track * (x[:nq] - ref[0]),
+                             w.w_track_vel * (x[nq:] - ref[1])])
+        U = w.w_ctrl * jnp.eye(self.nu, dtype=x.dtype)
+        return X, g, U, w.w_ctrl * u
+
+    def _track_term_quad(self, x, ref):
+        w = self.w
+        nq = self.nq
+        eye = jnp.eye(nq, dtype=x.dtype)
+        XH = jax.scipy.linalg.block_diag(20.0 * w.w_track * eye,
+                                         w.w_track_vel * eye)
+        qH = jnp.concatenate([20.0 * w.w_track * (x[:nq] - ref[0]),
+                              w.w_track_vel * (x[nq:] - ref[1])])
+        return XH, qH
+
     # -- solves ------------------------------------------------------------------
 
     @partial(jax.jit, static_argnums=0)
@@ -222,35 +278,45 @@ class GraspMPC:
             return ilqr_chain_batch(
                 self.plan, self.substeps, self._reach_stage,
                 self._reach_term, x0, u_init, refs, targets,
-                iters=self.iters)
+                iters=self.iters, quad_fn=self._reach_quad,
+                term_quad_fn=self._reach_term_quad)
         return jax.vmap(lambda x, t: self.solve(x, t))(x0, targets)
 
     @partial(jax.jit, static_argnums=0)
     def track_batch(self, x0: jax.Array, q_refs: jax.Array,
-                    qd_refs: Optional[jax.Array] = None) -> ILQRResult:
-        """Batched tracking solves: x0 (B, nx), q_refs (B, H+1, nq)."""
+                    qd_refs: Optional[jax.Array] = None,
+                    u_init: Optional[jax.Array] = None) -> ILQRResult:
+        """Batched tracking solves: x0 (B, nx), q_refs (B, H+1, nq),
+        optional warm start u_init (B, H, nu)."""
         if qd_refs is None:
             qd_refs = jnp.zeros_like(q_refs)
-        if self.use_pallas:
+        if u_init is None:
             u_init = jax.vmap(
                 lambda x: jnp.tile(self.hold_ctrl(x[: self.nq])[None],
                                    (self.H, 1)))(x0)
+        if self.use_pallas:
             refs = (q_refs[:, :-1], qd_refs[:, :-1])
             term_ref = (q_refs[:, -1], qd_refs[:, -1])
             return ilqr_chain_batch(
                 self.plan, self.substeps, self._track_stage,
                 self._track_term, x0, u_init, refs, term_ref,
-                iters=self.iters)
-        return jax.vmap(self.track)(x0, q_refs, qd_refs)
+                iters=self.iters, quad_fn=self._track_quad,
+                term_quad_fn=self._track_term_quad)
+        return jax.vmap(self.track)(x0, q_refs, qd_refs, u_init)
 
     @partial(jax.jit, static_argnums=0)
     def track(self, x0: jax.Array, q_refs: jax.Array,
-              qd_refs: Optional[jax.Array] = None) -> ILQRResult:
+              qd_refs: Optional[jax.Array] = None,
+              u_init: Optional[jax.Array] = None) -> ILQRResult:
         """Track a joint-space knot trajectory (H+1, nq) — the parity mode
-        that reproduces the reference's PID command sequences."""
+        that reproduces the reference's PID command sequences. Warm-start
+        with ``u_init`` (H, nu) for receding-horizon / parity use; defaults
+        to the gravity hold."""
         if qd_refs is None:
             qd_refs = jnp.zeros_like(q_refs)
-        u_init = jnp.tile(self.hold_ctrl(x0[: self.nq])[None], (self.H, 1))
+        if u_init is None:
+            u_init = jnp.tile(self.hold_ctrl(x0[: self.nq])[None],
+                              (self.H, 1))
         term_ref = (q_refs[-1], qd_refs[-1])
         # stage cost at step k is evaluated on x_k; align refs to knots 0..H-1
         refs = (q_refs[:-1], qd_refs[:-1])

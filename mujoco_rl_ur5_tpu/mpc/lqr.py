@@ -37,6 +37,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from mujoco_rl_ur5_tpu.ops.blockchol import (
+    chol_small, cho_solve_small, solve_general_small,
+)
+
 
 class LQR(NamedTuple):
     """Stacked time-varying LQT problem data (leading axis = horizon H for
@@ -75,9 +79,11 @@ def _gains_from_value(p: LQR, S1, s1, reg):
     Quu = _sym(Quu) + reg * jnp.eye(p.U.shape[-1], dtype=p.U.dtype)
     Qux = LT @ S1 @ p.F
     Qu = p.r + (LT @ (S1 @ p.c[..., None] + s1[..., None]))[..., 0]
-    cho = jax.scipy.linalg.cho_factor(Quu)
-    K = -jax.scipy.linalg.cho_solve(cho, Qux)
-    d = -jax.scipy.linalg.cho_solve(cho, Qu[..., None])[..., 0]
+    # unrolled Cholesky solves (ops/blockchol): the cho_factor/cho_solve
+    # custom-calls cost ~10x more than fused VPU ops at these (7, 7) shapes
+    cho = chol_small(Quu)
+    K = -cho_solve_small(cho, Qux)
+    d = -cho_solve_small(cho, Qu[..., None])[..., 0]
     return K, d, Quu, Qux, Qu
 
 
@@ -123,8 +129,11 @@ def _combine(e1: _Elem, e2: _Elem) -> _Elem:
     """Compose V_{i->k} (e1, earlier) with V_{k->j} (e2, later)."""
     nx = e1.A.shape[-1]
     I = jnp.eye(nx, dtype=e1.A.dtype)
-    # (I + C1 J2)^-1 once; PSD C, J => invertible
-    M = jnp.linalg.solve(I + e1.C @ e2.J, I)
+    # (I + C1 J2)^-1 once; PSD C, J => invertible. Unrolled pivoted
+    # Gauss-Jordan (ops/blockchol): jnp.linalg.solve's LU custom-call
+    # dominated the whole backward pass at (B*H, 16, 16) on TPU.
+    M = solve_general_small(I + e1.C @ e2.J,
+                            jnp.broadcast_to(I, e1.C.shape))
     MT = jnp.swapaxes(M, -1, -2)  # equals (I + J2 C1)^-T ... see below
     A2M = e2.A @ M
     A = A2M @ e1.A
@@ -150,10 +159,9 @@ def backward_parallel(p: LQR, reg: float = 1e-8) -> Gains:
 
     # per-step elements: A=F, b = c - L U^{-1} r, C = L U^{-1} L',
     # J = X, eta = -q   (derivation in module docstring)
-    Uc = jax.scipy.linalg.cho_factor(
-        p.U + reg * jnp.eye(nu, dtype=dt))
-    Uinv_r = jax.scipy.linalg.cho_solve(Uc, p.r[..., None])
-    Uinv_LT = jax.scipy.linalg.cho_solve(Uc, jnp.swapaxes(p.L, -1, -2))
+    Uc = chol_small(p.U + reg * jnp.eye(nu, dtype=dt))
+    Uinv_r = cho_solve_small(Uc, p.r[..., None])
+    Uinv_LT = cho_solve_small(Uc, jnp.swapaxes(p.L, -1, -2))
     A = p.F
     b = p.c - (p.L @ Uinv_r)[..., 0]
     C = _sym(p.L @ Uinv_LT)

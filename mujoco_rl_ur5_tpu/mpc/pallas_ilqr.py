@@ -55,9 +55,17 @@ def ilqr_chain_batch(
     iters: int = 6,
     alphas=(1.0, 0.6, 0.3, 0.1, 0.03),
     reg: float = 1e-6,
+    quad_fn: Callable = None,       # (x, u, ref) -> (X, q, U, r)
+    term_quad_fn: Callable = None,  # (x, ref) -> (XH, qH)
 ) -> ILQRResult:
     """Solve B independent trajectory optimizations in lock-step. Returns
-    an ILQRResult with a leading batch axis on every field."""
+    an ILQRResult with a leading batch axis on every field.
+
+    ``quad_fn``/``term_quad_fn`` override the autodiff cost expansion with
+    an analytic (typically Gauss-Newton) one: `jax.hessian` of an
+    FK-bearing cost generates hundreds of micro-ops per knot (~215 ms/iter
+    at B=1024 H=64 on TPU), while the GN expansion needs only the EE
+    Jacobian — and guarantees PSD stage Hessians."""
     B, H, nu = u_init.shape
     nx = x0.shape[-1]
     alphas_t = tuple(float(a) for a in alphas)
@@ -70,16 +78,20 @@ def ilqr_chain_batch(
     def total_cost(xs, us):
         return jax.vmap(inst_cost)(xs, us, refs, term_ref)
 
-    def quad_cost(x, u, ref):
-        q = jax.grad(cost_fn, argnums=0)(x, u, ref)
-        r = jax.grad(cost_fn, argnums=1)(x, u, ref)
-        X = jax.hessian(cost_fn, argnums=0)(x, u, ref)
-        U = jax.hessian(cost_fn, argnums=1)(x, u, ref)
-        return X, q, U, r
+    if quad_fn is None:
+        def quad_fn(x, u, ref):
+            q = jax.grad(cost_fn, argnums=0)(x, u, ref)
+            r = jax.grad(cost_fn, argnums=1)(x, u, ref)
+            X = jax.hessian(cost_fn, argnums=0)(x, u, ref)
+            U = jax.hessian(cost_fn, argnums=1)(x, u, ref)
+            return X, q, U, r
+    if term_quad_fn is None:
+        def term_quad_fn(x, ref):
+            return (jax.hessian(term_cost_fn, argnums=0)(x, ref),
+                    jax.grad(term_cost_fn, argnums=0)(x, ref))
 
-    vquad = jax.vmap(jax.vmap(quad_cost))
-    vterm_h = jax.vmap(jax.hessian(term_cost_fn, argnums=0))
-    vterm_g = jax.vmap(jax.grad(term_cost_fn, argnums=0))
+    vquad = jax.vmap(jax.vmap(quad_fn))
+    vterm = jax.vmap(term_quad_fn)
 
     def backward_batch(F, L, X, q, U, r, XH, qH, rg):
         def one(F, L, X, q, U, r, XH, qH, rg):
@@ -91,8 +103,7 @@ def ilqr_chain_batch(
     def expand_and_backward(xs, us, rg):
         F, L = lin_fd(plan, substeps, xs[:, :-1], us)
         X, q, U, r = vquad(xs[:, :-1], us, refs)
-        XH = vterm_h(xs[:, -1], term_ref)
-        qH = vterm_g(xs[:, -1], term_ref)
+        XH, qH = vterm(xs[:, -1], term_ref)
         return backward_batch(F, L, X, q, U, r, XH, qH, rg)
 
     def iteration(carry, _):

@@ -83,6 +83,15 @@ class ChainPlan:
     act_mat: np.ndarray         # (nv, nu) scatter matrix dofs<-actuators
     timestep: float
     gravity: np.ndarray         # (3,)
+    # joint-coupling equalities as implicit springs (empty when the plan is
+    # built with couple_equality=False): dof pairs, rest offsets, polycoef,
+    # and (stiffness, damping) derived from solref + the effective inertia
+    eq_d1: np.ndarray = None    # (neq,) constrained dof
+    eq_d2: np.ndarray = None    # (neq,) driving dof
+    eq_q01: np.ndarray = None   # (neq,) qpos0 of d1's joint
+    eq_q02: np.ndarray = None   # (neq,)
+    eq_poly: np.ndarray = None  # (neq, 5)
+    eq_kc: np.ndarray = None    # (neq, 2) [k (N m/rad), c (N m s/rad)]
 
 
 def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
@@ -94,9 +103,18 @@ def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
     ])
 
 
-def make_chain_plan(model: Model) -> ChainPlan:
+def make_chain_plan(model: Model, couple_equality: bool = True) -> ChainPlan:
     """Build the static plan; raises ValueError for non-chain models
-    (any non-hinge joint, or >1 joint on a body)."""
+    (any non-hinge joint, or >1 joint on a body).
+
+    ``couple_equality`` bakes the model's joint-coupling equalities (the
+    finger coupling base_to_rik = base_to_lik,
+    UR5gripper_2_finger_many_objects.xml:340) as near-rigid implicit
+    springs sized from solref and the joints' effective inertia — the
+    contact-free analogue of the jointly-solved equality rows in
+    physics/constraints.py. Without it the unactuated right knuckle never
+    moves and the gripper dynamics diverge from MuJoCo's. Pass False to
+    reproduce `dynamics.step(ncon=0)` exactly (which skips equality rows)."""
     t = model.topo
     if t.njnt == 0 or np.any(t.jnt_type != JNT_HINGE):
         raise ValueError("chain dynamics requires an all-hinge model")
@@ -168,7 +186,7 @@ def make_chain_plan(model: Model) -> ChainPlan:
         "chain plan requires qpos addresses == dof addresses (all-hinge)"
 
     root = int(t.tree_rootbody[0])
-    return ChainPlan(
+    plan = ChainPlan(
         nv=nv, nu=nu, nmov=nmov, body_ids=mov, parent_slot=parent_slot,
         parent_pose=parent_pose, body_pos=body_pos, body_rot=body_rot,
         jnt_dof=jnt_dof, jnt_pos=jnt_pos, jnt_axis=jnt_axis, jnt_ref=jnt_ref,
@@ -183,7 +201,44 @@ def make_chain_plan(model: Model) -> ChainPlan:
         sub_body=sub_body, anc_dof=anc_dof, dof_sub_body=dof_sub_body,
         m_mask=m_mask, act_mat=act_mat, timestep=float(t.timestep),
         gravity=np.asarray(t.gravity, np.float64),
+        eq_d1=np.zeros(0, np.int64), eq_d2=np.zeros(0, np.int64),
+        eq_q01=np.zeros(0), eq_q02=np.zeros(0),
+        eq_poly=np.zeros((0, 5)), eq_kc=np.zeros((0, 2)),
     )
+    if couple_equality and t.neq:
+        # effective inertia of each coupled pair from the rest-pose mass
+        # diagonal: m_eff = 1/(Minv[d1,d1] + dpoly^2 Minv[d2,d2]); then
+        # MuJoCo-style impedance from solref (timeconst, dampratio):
+        # k = m_eff / (dmax^2 tc^2), c = 2 m_eff dampratio / (dmax tc)
+        q0 = jnp.asarray(np.asarray(model.qpos0, np.float64))
+        M0, _ = chain_mass_bias(plan, q0, jnp.zeros((nv,), q0.dtype))
+        M0 = np.asarray(M0)
+        solref = np.asarray(model.eq_solref, np.float64)
+        solimp = np.asarray(model.eq_solimp, np.float64)
+        poly = np.asarray(model.eq_poly, np.float64)
+        d1 = np.asarray(t.eq_j1_dof, np.int64)
+        d2 = np.asarray(t.eq_j2_dof, np.int64)
+        q01 = np.asarray(model.qpos0)[np.asarray(t.eq_j1_qadr)]
+        q02 = np.asarray(model.qpos0)[np.asarray(t.eq_j2_qadr)]
+        kc = np.zeros((t.neq, 2))
+        for e in range(t.neq):
+            x2 = 0.0                     # dpoly at rest (residual is 0 there)
+            dp = poly[e, 1] + 2 * poly[e, 2] * x2 + 3 * poly[e, 3] * x2**2
+            m_eff = 1.0 / (1.0 / M0[d1[e], d1[e]]
+                           + dp * dp / M0[d2[e], d2[e]])
+            tc, damp = float(solref[e, 0]), float(solref[e, 1])
+            dmax = float(solimp[e, 1])
+            # MuJoCo's soft constraint at impedance d = dmax: acceleration
+            # stiffness 1/(dmax tc)^2 times the d/(1-d) impedance gain.
+            # Empirically checked against mujoco 3.x on the finger coupling:
+            # measured force stiffness 255 N m/rad vs 263 predicted
+            # (quasi-static close, ctrl -0.01..-0.03).
+            kc[e, 0] = m_eff * dmax / (1.0 - dmax) / (dmax * dmax * tc * tc)
+            kc[e, 1] = 2.0 * damp * np.sqrt(kc[e, 0] * m_eff)
+        plan.eq_d1, plan.eq_d2 = d1, d2
+        plan.eq_q01, plan.eq_q02 = np.asarray(q01), np.asarray(q02)
+        plan.eq_poly, plan.eq_kc = poly, kc
+    return plan
 
 
 def _rodrigues(axis: np.ndarray, c, s):
@@ -343,6 +398,24 @@ def chain_step(plan: ChainPlan, qpos: jax.Array, qvel: jax.Array,
         damp = jnp.asarray(plan.damping, f)
         qfrc = tau - bias - damp * qvel
         a = mass + h * jnp.diag(damp)
+        # joint-coupling equalities as implicit springs (plan docstring):
+        # residual r = dq1 - poly(dq2), generalized force f = -(k r +
+        # (h k + c_d) rdot) along G = e_d1 - dpoly e_d2; the velocity term
+        # goes implicit exactly like the joint damping above
+        for e in range(len(plan.eq_d1)):
+            d1, d2 = int(plan.eq_d1[e]), int(plan.eq_d2[e])
+            pc = plan.eq_poly[e]
+            x2 = qpos[d2] - plan.eq_q02[e]
+            poly = (pc[0] + pc[1] * x2 + pc[2] * x2**2 + pc[3] * x2**3
+                    + pc[4] * x2**4)
+            dpoly = (pc[1] + 2 * pc[2] * x2 + 3 * pc[3] * x2**2
+                     + 4 * pc[4] * x2**3)
+            r = (qpos[d1] - plan.eq_q01[e]) - poly
+            rdot = qvel[d1] - dpoly * qvel[d2]
+            k, cd = float(plan.eq_kc[e, 0]), float(plan.eq_kc[e, 1])
+            g = jnp.zeros((plan.nv,), f).at[d1].set(1.0).at[d2].add(-dpoly)
+            qfrc = qfrc - (k * r + (h * k + cd) * rdot) * g
+            a = a + (h * (h * k + cd)) * jnp.outer(g, g)
         # equilibrated unrolled Cholesky solve (ops/blockchol.py): the
         # cho_factor/cho_solve custom-calls dominate the MPC rollout cost
         # on TPU at (.., 8, 8) shapes, and the arm mass needs Jacobi

@@ -202,6 +202,18 @@ def make_substep(plan: ChainPlan):
     mass = [_c(m) for m in plan.mass]
     dof_slot = [int(s) for s in plan.dof_slot]
     dof_parent = [int(s) for s in plan.dof_parent_slot]
+    # joint-coupling equalities (implicit springs; see chain.chain_step)
+    eqs = [(int(plan.eq_d1[e]), int(plan.eq_d2[e]),
+            [_c(p) for p in plan.eq_poly[e]],
+            _c(plan.eq_q01[e]), _c(plan.eq_q02[e]),
+            float(plan.eq_kc[e, 0]), float(plan.eq_kc[e, 1]))
+           for e in range(len(plan.eq_d1))]
+    # solver sparsity: tree coupling plus the equality pairs (their A
+    # entries live outside the ancestor mask)
+    smask = [[bool(mmask[i][j]) or bool(mmask[j][i]) for j in range(nv)]
+             for i in range(nv)]
+    for d1, d2, *_ in eqs:
+        smask[d1][d2] = smask[d2][d1] = True
 
     def fk(q):
         """-> xpos, xrot (per slot), anchor, axis_w (per dof)."""
@@ -330,7 +342,7 @@ def make_substep(plan: ChainPlan):
         same algorithm as ops/blockchol.solve_spd_scaled. Topology zeros
         in A fold out of the factorization automatically."""
         s = [jax.lax.rsqrt(jnp.maximum(A[i][i], 1e-30)) for i in range(nv)]
-        As = [[smul(smul(A[i][j], s[i]), s[j]) if mmask[i][j] or mmask[j][i]
+        As = [[smul(smul(A[i][j], s[i]), s[j]) if smask[i][j]
                else 0.0 for j in range(nv)] for i in range(nv)]
         bs = [smul(b[i], s[i]) for i in range(nv)]
         L = [[0.0] * nv for _ in range(nv)]
@@ -368,6 +380,26 @@ def make_substep(plan: ChainPlan):
             tau[d] = smul(gear[j], cj)
         qfrc = [ssub(tau[i], sadd(bias[i], smul(damping[i], v[i])))
                 for i in range(nv)]
+        for d1, d2, pc, q01, q02, k, cd in eqs:
+            x2 = ssub(q[d2], q02)
+            poly = sadd(pc[0], smul(pc[1], x2),
+                        smul(pc[2], smul(x2, x2)),
+                        smul(pc[3], smul(x2, smul(x2, x2))),
+                        smul(pc[4], smul(smul(x2, x2), smul(x2, x2))))
+            dpoly = sadd(pc[1], smul(2.0 * pc[2], x2),
+                         smul(3.0 * pc[3], smul(x2, x2)),
+                         smul(4.0 * pc[4], smul(x2, smul(x2, x2))))
+            r = ssub(ssub(q[d1], q01), poly)
+            rdot = ssub(v[d1], smul(dpoly, v[d2]))
+            fm = sneg(sadd(smul(k, r), smul(h * k + cd, rdot)))
+            qfrc[d1] = sadd(qfrc[d1], fm)
+            qfrc[d2] = sadd(qfrc[d2], sneg(smul(dpoly, fm)))
+            w = h * (h * k + cd)
+            A[d1][d1] = sadd(A[d1][d1], w)
+            A[d2][d2] = sadd(A[d2][d2], smul(w, smul(dpoly, dpoly)))
+            off = sneg(smul(w, dpoly))
+            A[d1][d2] = sadd(A[d1][d2], off)
+            A[d2][d1] = sadd(A[d2][d1], off)
         qacc = solve_scaled(A, qfrc)
         v2 = [sadd(v[i], smul(h, qacc[i])) for i in range(nv)]
         q2 = [sadd(q[i], smul(h, v2[i])) for i in range(nv)]

