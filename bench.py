@@ -198,6 +198,7 @@ def bench_mpc(model, quick: bool):
     mpc = GraspMPC.from_scene(SCENE, horizon=H)
     best_rate, best_B = 0.0, 0
     last_rate = None
+    out = {}
     for B in ([256] if quick else [256, 1024, 4096]):
         if last_rate is not None and B / last_rate > CALL_BUDGET_S:
             log(f"mpc B={B}: skipped (projected {B/last_rate:.0f}s "
@@ -215,11 +216,14 @@ def bench_mpc(model, quick: bool):
         last_rate = rate
         log(f"mpc B={B}: {rate:,.0f} solves/s "
             f"(target {REALTIME_SOLVES_PER_S:,.0f})")
+        out[f"mpc_solves_per_s_B{B}"] = round(rate, 1)
         if rate > best_rate:
             best_rate, best_B = rate, B
     if best_B == 0:
         return None
-    return {"mpc_solves_per_s_H64": round(best_rate, 1), "mpc_batch": best_B}
+    out.update({"mpc_solves_per_s_H64": round(best_rate, 1),
+                "mpc_batch": best_B})
+    return out
 
 
 def main():

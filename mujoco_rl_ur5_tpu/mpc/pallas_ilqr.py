@@ -36,7 +36,9 @@ import jax
 import jax.numpy as jnp
 
 from mujoco_rl_ur5_tpu.mpc.ilqr import ILQRResult
-from mujoco_rl_ur5_tpu.mpc.lqr import LQR, Gains, backward_parallel
+from mujoco_rl_ur5_tpu.mpc.lqr import (
+    LQR, Gains, backward_parallel, backward_sequential,
+)
 from mujoco_rl_ur5_tpu.physics.chain import ChainPlan
 from mujoco_rl_ur5_tpu.physics.pallas_chain import (
     lin_fd, rollout_closed, rollout_open,
@@ -57,6 +59,7 @@ def ilqr_chain_batch(
     reg: float = 1e-6,
     quad_fn: Callable = None,       # (x, u, ref) -> (X, q, U, r)
     term_quad_fn: Callable = None,  # (x, ref) -> (XH, qH)
+    parallel_backward: bool = None,
 ) -> ILQRResult:
     """Solve B independent trajectory optimizations in lock-step. Returns
     an ILQRResult with a leading batch axis on every field.
@@ -65,7 +68,15 @@ def ilqr_chain_batch(
     an analytic (typically Gauss-Newton) one: `jax.hessian` of an
     FK-bearing cost generates hundreds of micro-ops per knot (~215 ms/iter
     at B=1024 H=64 on TPU), while the GN expansion needs only the EE
-    Jacobian — and guarantees PSD stage Hessians."""
+    Jacobian — and guarantees PSD stage Hessians.
+
+    ``parallel_backward`` selects the Riccati pass; default (None) uses the
+    associative-scan pass only for small batches. At B >= 1024 the batch
+    axis alone saturates the chip, and the parallel-in-time formulation's
+    ~7x element-work overhead (log-depth composition of 5-tuple elements
+    incl. a general 16x16 solve each) is pure loss; the classic O(H) scan
+    of small batched MXU ops is faster AND compiles an order of magnitude
+    smaller."""
     B, H, nu = u_init.shape
     nx = x0.shape[-1]
     alphas_t = tuple(float(a) for a in alphas)
@@ -93,11 +104,15 @@ def ilqr_chain_batch(
     vquad = jax.vmap(jax.vmap(quad_fn))
     vterm = jax.vmap(term_quad_fn)
 
+    if parallel_backward is None:
+        parallel_backward = B < 1024
+    backward = backward_parallel if parallel_backward else backward_sequential
+
     def backward_batch(F, L, X, q, U, r, XH, qH, rg):
         def one(F, L, X, q, U, r, XH, qH, rg):
             p = LQR(F=F, L=L, c=jnp.zeros((H, nx), F.dtype), X=X, q=q,
                     U=U, r=r, XH=XH, qH=qH)
-            return backward_parallel(p, reg=rg)
+            return backward(p, reg=rg)
         return jax.vmap(one)(F, L, X, q, U, r, XH, qH, rg)
 
     def expand_and_backward(xs, us, rg):

@@ -61,14 +61,8 @@ def main():
 
     @jax.jit
     def quad(xs, us):
-        def qc(x, u, ref):
-            return (jax.hessian(cost_fn, 0)(x, u, ref),
-                    jax.grad(cost_fn, 0)(x, u, ref),
-                    jax.hessian(cost_fn, 1)(x, u, ref),
-                    jax.grad(cost_fn, 1)(x, u, ref))
-        X, q, U, r = jax.vmap(jax.vmap(qc))(xs[:, :-1], us, refs)
-        XH = jax.vmap(jax.hessian(term_fn, 0))(xs[:, -1], targets)
-        qH = jax.vmap(jax.grad(term_fn, 0))(xs[:, -1], targets)
+        X, q, U, r = jax.vmap(jax.vmap(mpc._reach_quad))(xs[:, :-1], us, refs)
+        XH, qH = jax.vmap(mpc._reach_term_quad)(xs[:, -1], targets)
         return X, q, U, r, XH, qH
 
     X, q, U, r, XH, qH = quad(xs, us)
