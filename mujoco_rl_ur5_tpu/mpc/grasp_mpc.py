@@ -30,7 +30,8 @@ import numpy as np
 from mujoco_rl_ur5_tpu.mpc.ilqr import ILQRResult, ilqr
 from mujoco_rl_ur5_tpu.mpc.pallas_ilqr import ilqr_chain_batch
 from mujoco_rl_ur5_tpu.physics.chain import (
-    chain_body_pos, chain_hold_ctrl, chain_step, make_chain_plan,
+    chain_body_pos, chain_body_xaxis, chain_hold_ctrl, chain_step,
+    make_chain_plan,
 )
 from mujoco_rl_ur5_tpu.scene.model import Model, State
 from mujoco_rl_ur5_tpu.scene.reduce import load_arm_model
@@ -47,6 +48,8 @@ class MPCWeights(NamedTuple):
     w_vel: float = 0.05       # joint velocity damping
     w_ctrl: float = 1e-3      # control effort
     w_posture: float = 0.02   # stay near a reference posture
+    w_orient: float = 1.0     # running vertical-gripper orientation
+    w_orient_term: float = 20.0  # terminal vertical-gripper orientation
     w_track: float = 50.0     # joint-space tracking (track mode)
     w_track_vel: float = 0.5
 
@@ -138,6 +141,15 @@ class GraspMPC:
         p = chain_body_pos(self.plan, qpos, self.ee_body)
         return p - jnp.asarray(EE_OFFSET, qpos.dtype)
 
+    def ee_axis_err(self, qpos: jax.Array) -> jax.Array:
+        """Deviation of the gripper approach axis from vertical-down — the
+        orientation the reference's IK enforces on every move
+        (MujocoController.py:498-500: [0, 0, -1], orientation_mode="X").
+        Without this objective the optimizer reaches grasp POSITIONS with
+        arbitrary wrist poses and the fingers close on air."""
+        ax = chain_body_xaxis(self.plan, qpos, self.ee_body)
+        return ax - jnp.asarray([0.0, 0.0, -1.0], qpos.dtype)
+
     def hold_ctrl(self, qpos: jax.Array) -> jax.Array:
         """Gravity-compensation controls at rest: ctrl = qfrc_bias / gear,
         clipped to the actuator range. Used as the iLQR warm start so the
@@ -160,8 +172,10 @@ class GraspMPC:
         w = self.w
         q, qd = x[: self.nq], x[self.nq:]
         e = self.ee_pos(q) - target
+        a = self.ee_axis_err(q)
         posture = q - jnp.asarray(self.home, x.dtype)
         return (0.5 * w.w_ee_run * e @ e
+                + 0.5 * w.w_orient * a @ a
                 + 0.5 * w.w_vel * qd @ qd
                 + 0.5 * w.w_ctrl * u @ u
                 + 0.5 * w.w_posture * posture @ posture)
@@ -170,7 +184,9 @@ class GraspMPC:
         w = self.w
         q, qd = x[: self.nq], x[self.nq:]
         e = self.ee_pos(q) - target
-        return 0.5 * w.w_ee * (e @ e) + 0.5 * 10.0 * w.w_vel * (qd @ qd)
+        a = self.ee_axis_err(q)
+        return (0.5 * w.w_ee * (e @ e) + 0.5 * w.w_orient_term * (a @ a)
+                + 0.5 * 10.0 * w.w_vel * (qd @ qd))
 
     def _track_stage(self, x, u, ref):
         """ref = (q_ref, qd_ref) joint-space knots (parity mode)."""
@@ -197,12 +213,15 @@ class GraspMPC:
         nq = self.nq
         q, qd = x[:nq], x[nq:]
         e = self.ee_pos(q) - target
+        a = self.ee_axis_err(q)
         J = jax.jacfwd(self.ee_pos)(q)                      # (3, nq)
+        Ja = jax.jacfwd(self.ee_axis_err)(q)                # (3, nq)
         eye = jnp.eye(nq, dtype=x.dtype)
-        Xq = w.w_ee_run * J.T @ J + w.w_posture * eye
+        Xq = (w.w_ee_run * J.T @ J + w.w_orient * Ja.T @ Ja
+              + w.w_posture * eye)
         X = jax.scipy.linalg.block_diag(Xq, w.w_vel * eye)
         g = jnp.concatenate([
-            w.w_ee_run * (J.T @ e)
+            w.w_ee_run * (J.T @ e) + w.w_orient * (Ja.T @ a)
             + w.w_posture * (q - jnp.asarray(self.home, x.dtype)),
             w.w_vel * qd,
         ])
@@ -214,11 +233,16 @@ class GraspMPC:
         nq = self.nq
         q, qd = x[:nq], x[nq:]
         e = self.ee_pos(q) - target
+        a = self.ee_axis_err(q)
         J = jax.jacfwd(self.ee_pos)(q)
+        Ja = jax.jacfwd(self.ee_axis_err)(q)
         eye = jnp.eye(nq, dtype=x.dtype)
-        XH = jax.scipy.linalg.block_diag(w.w_ee * J.T @ J,
-                                         10.0 * w.w_vel * eye)
-        qH = jnp.concatenate([w.w_ee * (J.T @ e), 10.0 * w.w_vel * qd])
+        XH = jax.scipy.linalg.block_diag(
+            w.w_ee * J.T @ J + w.w_orient_term * Ja.T @ Ja,
+            10.0 * w.w_vel * eye)
+        qH = jnp.concatenate([
+            w.w_ee * (J.T @ e) + w.w_orient_term * (Ja.T @ a),
+            10.0 * w.w_vel * qd])
         return XH, qH
 
     def _track_quad(self, x, u, ref):

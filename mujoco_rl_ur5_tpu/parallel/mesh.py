@@ -5,9 +5,16 @@ inputs, let XLA insert the collectives, profile, iterate. Two named axes:
 
   * "data"  — scenario/batch parallelism: env states, replay samples, and
     per-example gradients shard here; gradient sync is one `psum` riding ICI.
-  * "model" — reserved for tensor parallelism of the conv channels / Riccati
-    block factorizations; size 1 on small slices so every sharding below is
-    valid from 1 chip to a pod slice without code changes.
+  * "model" — RESERVED (size 1 in every shipped configuration). Measured
+    honestly: this workload has no tensor large enough for a model axis to
+    pay for its collectives — the MPC's Riccati blocks are 16x16 (a single
+    MXU tile; sharding them is pure communication), and the Q-net tops out
+    at 512-channel convs whose feature-parallel all-gather only breaks even
+    beyond batch sizes the replay pipeline never reaches. The axis exists so
+    every sharding below stays valid on meshes with model > 1 (placement +
+    loss parity are tested in tests/test_parallel.py) and so a future
+    larger policy net can turn it on without touching call sites; the
+    `tp_*` helpers below implement the conv layout for that case.
 
 Everything is `jax.jit` + `NamedSharding` (GSPMD), not hand-written pmaps:
 XLA chooses all-reduce implementations (bidirectional ring over ICI) better

@@ -303,6 +303,17 @@ def chain_body_pos(plan: ChainPlan, qpos: jax.Array, body_id: int) -> jax.Array:
     return xpos[slot]
 
 
+def chain_body_xaxis(plan: ChainPlan, qpos: jax.Array,
+                     body_id: int) -> jax.Array:
+    """World direction of one body frame's X axis — differentiable. For
+    ee_link this is the gripper approach axis the reference's IK pins to
+    [0, 0, -1] (MujocoController.py:498-500, orientation_mode="X")."""
+    slot = int(np.nonzero(plan.body_ids == body_id)[0][0])
+    with jax.default_matmul_precision("float32"):
+        _, xrot, _, _ = chain_fk(plan, qpos)
+    return xrot[slot][:, 0]
+
+
 def _cdof_cinert(plan: ChainPlan, qpos: jax.Array):
     f = qpos.dtype
     xpos, xrot, anchor, ax = chain_fk(plan, qpos)
@@ -388,8 +399,10 @@ def chain_hold_ctrl(plan: ChainPlan, qpos: jax.Array) -> jax.Array:
 def chain_step(plan: ChainPlan, qpos: jax.Array, qvel: jax.Array,
                ctrl: jax.Array):
     """One semi-implicit Euler step with implicit joint damping — same
-    semantics as `dynamics.step(model, state, ncon=0)` on the submodel
-    (parity-gated in tests/test_chain.py)."""
+    semantics as `dynamics.step(model, state, ncon=0)` on the submodel when
+    the plan is built with couple_equality=False (parity-gated in
+    tests/test_chain.py), plus the implicit equality springs otherwise
+    (gated against ground-truth MuJoCo in the same file)."""
     from mujoco_rl_ur5_tpu.ops.blockchol import solve_spd_scaled
 
     with jax.default_matmul_precision("float32"):

@@ -28,6 +28,9 @@ def main():
     p.add_argument("--batch-per-device", type=int, default=4)
     p.add_argument("--env-steps", action="store_true",
                    help="also scale the (slow-compiling) env rollout")
+    p.add_argument("--mpc", action="store_true",
+                   help="also scale the batched grasp-MPC solve (the "
+                        "north-star metric's mesh-sharded form)")
     args = p.parse_args()
 
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -54,7 +57,16 @@ def main():
         return float(np.median(ts))
 
     counts = [d for d in (1, 2, 4, 8) if d <= args.devices]
-    report = {"learner": {}, "env": {}}
+    # NOTE on reading the numbers: the N "devices" are virtual shards of ONE
+    # physical CPU, so under weak scaling (B = per_dev * d) the zero-overhead
+    # ideal is CONSTANT throughput, i.e. efficiency = 1/d. We report both
+    # `efficiency` (rate / (base * d), the real-mesh convention) and
+    # `vs_shared_silicon` (rate / base): the latter is 1.0 when GSPMD
+    # sharding adds no overhead on shared silicon.
+    report = {"learner": {}, "env": {}, "mpc": {},
+              "note": ("virtual shared-silicon mesh: ideal weak-scaling "
+                       "efficiency is 1/d; vs_shared_silicon=1.0 means "
+                       "zero sharding overhead")}
     im = args.image
 
     agent = GraspAgent(AgentConfig(width=im, height=im, memory_size=32,
@@ -76,9 +88,42 @@ def main():
             base_per_dev = rate
         eff = rate / (base_per_dev * d)
         report["learner"][d] = {"examples_per_s": round(rate, 1),
-                                "efficiency": round(eff, 3)}
+                                "efficiency": round(eff, 3),
+                                "vs_shared_silicon": round(eff * d, 3)}
         print(f"learner d={d}: {rate:,.1f} ex/s  eff={eff:.2f}",
               file=sys.stderr)
+
+    if args.mpc:
+        from mujoco_rl_ur5_tpu.mpc import GraspMPC
+        from mujoco_rl_ur5_tpu.parallel import make_mesh as mk, shard_batch
+
+        # small solve config: the CPU mesh measures SCALING SHAPE; absolute
+        # chip numbers come from bench.py
+        mpc = GraspMPC.from_scene(
+            "/root/reference/UR5+gripper/"
+            "UR5gripper_2_finger_many_objects.xml",
+            horizon=8, substeps=4, iters=3, use_pallas=False)
+        base = None
+        for d in counts:
+            mesh = mk(jax.devices()[:d], data=d, model=1)
+            B = args.batch_per_device * d          # weak scaling
+            x0 = jnp.tile(jnp.concatenate(
+                [jnp.asarray(mpc.home, jnp.float32),
+                 jnp.zeros(mpc.nq, jnp.float32)]), (B, 1))
+            tg = jnp.tile(jnp.asarray([0.0, -0.6, 1.0], jnp.float32),
+                          (B, 1))
+            x0s, tgs = shard_batch(mesh, x0), shard_batch(mesh, tg)
+            dt = timed(lambda a, b: mpc.solve_batch_x(a, b).cost,
+                       x0s, tgs, iters=3)
+            rate = B / dt
+            if base is None:
+                base = rate
+            eff = rate / (base * d)
+            report["mpc"][d] = {"solves_per_s": round(rate, 2),
+                                "efficiency": round(eff, 3),
+                                "vs_shared_silicon": round(eff * d, 3)}
+            print(f"mpc d={d}: {rate:,.2f} solves/s eff={eff:.2f}",
+                  file=sys.stderr)
 
     if args.env_steps:
         from mujoco_rl_ur5_tpu.env import GraspEnv
@@ -101,7 +146,8 @@ def main():
                 base = rate
             eff = rate / (base * d)
             report["env"][d] = {"resets_per_s": round(rate, 2),
-                                "efficiency": round(eff, 3)}
+                                "efficiency": round(eff, 3),
+                                "vs_shared_silicon": round(eff * d, 3)}
             print(f"env d={d}: {rate:,.2f} resets/s eff={eff:.2f}",
                   file=sys.stderr)
 
