@@ -81,12 +81,17 @@ class GraspEnv:
                  iterations: int | None = None,
                  image_width: int = 200, image_height: int = 200,
                  camera: str = "top_down", demo: bool = False,
-                 budget_scale: float = 1.0):
+                 budget_scale: float = 1.0, mpc=None):
         """``budget_scale`` scales every phase's step budget (and the settle
         times); 1.0 = the reference's budgets (GraspingEnv.py:212-316). Tests
         use small scales to exercise the full phase-machine structure in CI
         time — parity claims only hold at 1.0. ``iterations=None`` follows
-        the scene's <option iterations> (100 in the grasp scenes)."""
+        the scene's <option iterations> (100 in the grasp scenes).
+
+        ``mpc`` (a GraspMPC bound to this scene's arm submodel) switches the
+        pick policy from the reference's IK+PID phase machine to iLQR
+        trajectory optimization executed closed-loop (mpc/policy.py): use
+        `step_mpc` instead of `step`."""
         self.model = model
         self.ctl = Controller(model, ncon=ncon, iterations=iterations)
         self.cam: Camera = make_camera(model, camera, image_width, image_height)
@@ -97,6 +102,30 @@ class GraspEnv:
         free = np.nonzero(t.jnt_type == JNT_FREE)[0]
         self.free_qadr = t.jnt_qposadr[free]            # (nobj,)
         self.nobj = len(free)
+        self.policy = None
+        if mpc is not None:
+            from mujoco_rl_ur5_tpu.mpc.policy import MPCGraspPolicy
+
+            self.policy = MPCGraspPolicy(model, mpc, ncon=ncon,
+                                         iterations=iterations)
+            pol = self.policy
+            # phase programs jitted ONCE and reused across phases/steps —
+            # tracing the whole pick into one XLA module is the CPU
+            # compile-bomb shape (mpc/policy.pick docstring)
+            self._mv = jax.jit(jax.vmap(
+                lambda st, ps, t, g, w, fb: pol.move_to(
+                    st, ps, t, g, wrist=w, fallback=fb)))
+            self._hold_cache = {}
+            self._observe_v = jax.jit(jax.vmap(self.observe))
+            self._decode_v = jax.jit(jax.vmap(self.decode_action))
+
+    def _hold_b(self, st, ps, grip_sp, steps: int):
+        fn = self._hold_cache.get(steps)
+        if fn is None:
+            fn = jax.jit(jax.vmap(
+                lambda st, ps, g: self.policy.hold(st, ps, g, steps)))
+            self._hold_cache[steps] = fn
+        return fn(st, ps, grip_sp)
 
     def _steps(self, n: int) -> int:
         return max(2, int(round(n * self._scale)))
@@ -157,6 +186,66 @@ class GraspEnv:
         reward = jnp.where(skip, 0.0, grasped.astype(jnp.float32))
         rgb, depth = self.observe(sim)
         es = es.replace(sim=sim, ctl=ctl, rgb=rgb, depth=depth)
+        return es, reward, jnp.zeros_like(skip), {"grasped": grasped & ~skip}
+
+    def step_mpc(self, es: EnvState, action: jax.Array):
+        """One RL step with the MPC pick policy: the reference's scripted
+        phases (GraspingEnv.py:205-316) with every arm motion planned by
+        iLQR and executed as TVLQR feedback through the contact scene
+        (mpc/policy.py), gripper on the reference PID law.
+
+        BATCHED interface: es/action carry a leading batch axis, and this
+        method must NOT be wrapped in an outer jit/vmap — each phase is a
+        separately-jitted program reused across phases and steps. Skip
+        gate, IK-center fallback, rotation action, grasp protocol, and
+        binary reward follow `step`."""
+        from mujoco_rl_ur5_tpu.mpc.policy import GRIP_CLOSE, GRIP_OPEN
+
+        if self.policy is None:
+            raise ValueError("construct GraspEnv with mpc=GraspMPC(...) "
+                             "to use step_mpc")
+        pol = self.policy
+        f = es.sim.qpos.dtype
+        B = action.shape[0]
+        S = self._steps
+        coords, rotation = self._decode_v(es, action)
+        skip = (coords[:, 2] < 0.8) | (coords[:, 1] > -0.3)
+
+        wrist = jnp.deg2rad(jnp.asarray(ROTATIONS, f))[rotation]
+        open_sp = jnp.full((B,), GRIP_OPEN, f)
+        close_sp = jnp.full((B,), GRIP_CLOSE, f)
+        center = jnp.tile(jnp.asarray([0.0, -0.6, 1.1], f), (B, 1))
+        drop = jnp.tile(jnp.asarray([0.6, 0.0, 1.15], f), (B, 1))
+        wrist0 = jnp.zeros((B,), f)
+        c1 = coords.at[:, 2].set(1.1)
+        c2 = coords.at[:, 2].set(
+            jnp.maximum(TABLE_HEIGHT, coords[:, 2] - 0.01))
+
+        pid0 = es.ctl.pid
+        # pre-grasp (IK miss -> center fallback), rotate, descend
+        st, ps, _ = self._mv(es.sim, pid0, c1, open_sp, wrist, center)
+        st, ps, e2 = self._mv(st, ps, c2, open_sp, wrist, c2)
+        st, ps = self._hold_b(st, ps, open_sp, S(50))       # stay 100 ms
+        st, ps = self._hold_b(st, ps, close_sp, S(300))     # grasp
+        qg = st.qpos[:, pol.grip_qadr]
+        grasp_ok = (e2 < 0.05) & jnp.all(
+            jnp.abs(qg - GRIP_CLOSE) > 0.01, axis=-1)
+        # transport (closed): center, then drop bin + wrist back to 0
+        st, ps, _ = self._mv(st, ps, center, close_sp, wrist, center)
+        st, ps, _ = self._mv(st, ps, drop, close_sp, wrist0, drop)
+        # final check: fingers still blocked after transport (:312-327)
+        st, ps = self._hold_b(st, ps, close_sp, S(300))
+        qg = st.qpos[:, pol.grip_qadr]
+        grasped = grasp_ok & jnp.all(
+            jnp.abs(qg - GRIP_CLOSE) > 0.01, axis=-1)
+        st, ps = self._hold_b(st, ps, open_sp, S(100))      # release
+
+        sim = _select(skip, es.sim, st)
+        ps = _select(skip, pid0, ps)
+        reward = jnp.where(skip, 0.0, grasped.astype(jnp.float32))
+        rgb, depth = self._observe_v(sim)
+        es = es.replace(sim=sim, ctl=es.ctl.replace(pid=ps),
+                        rgb=rgb, depth=depth)
         return es, reward, jnp.zeros_like(skip), {"grasped": grasped & ~skip}
 
     # -- the phase machine --------------------------------------------------

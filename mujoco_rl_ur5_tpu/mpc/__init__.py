@@ -15,7 +15,10 @@ replaces it with batched iLQR over the compiled dynamics:
                   instead of thousands of micro-kernels;
   * `grasp_mpc` — `GraspMPC`: the UR5 grasp planner bound to an arm
                   submodel (scene/reduce.py), with reach + tracking costs;
-                  batched solves auto-route through pallas_ilqr on TPU.
+                  batched solves auto-route through pallas_ilqr on TPU;
+  * `policy`    — `MPCGraspPolicy`: executes the plans on the full contact
+                  scene (TVLQR arm feedback + reference gripper PID) — the
+                  closed loop that replaces the reference's scripted pick.
 """
 
 from mujoco_rl_ur5_tpu.mpc.lqr import (
@@ -24,9 +27,10 @@ from mujoco_rl_ur5_tpu.mpc.lqr import (
 from mujoco_rl_ur5_tpu.mpc.ilqr import ILQRResult, ilqr
 from mujoco_rl_ur5_tpu.mpc.pallas_ilqr import ilqr_chain_batch
 from mujoco_rl_ur5_tpu.mpc.grasp_mpc import GraspMPC, MPCWeights
+from mujoco_rl_ur5_tpu.mpc.policy import MPCGraspPolicy, PickResult
 
 __all__ = [
     "LQR", "Gains", "backward_sequential", "backward_parallel",
     "rollout_policy", "ILQRResult", "ilqr", "ilqr_chain_batch",
-    "GraspMPC", "MPCWeights",
+    "GraspMPC", "MPCWeights", "MPCGraspPolicy", "PickResult",
 ]

@@ -30,8 +30,8 @@ import numpy as np
 from mujoco_rl_ur5_tpu.mpc.ilqr import ILQRResult, ilqr
 from mujoco_rl_ur5_tpu.mpc.pallas_ilqr import ilqr_chain_batch
 from mujoco_rl_ur5_tpu.physics.chain import (
-    chain_body_pos, chain_body_xaxis, chain_hold_ctrl, chain_step,
-    make_chain_plan,
+    chain_body_pos, chain_body_xaxis, chain_ee_geom, chain_hold_ctrl,
+    chain_step, make_chain_plan,
 )
 from mujoco_rl_ur5_tpu.scene.model import Model, State
 from mujoco_rl_ur5_tpu.scene.reduce import load_arm_model
@@ -150,6 +150,16 @@ class GraspMPC:
         ax = chain_body_xaxis(self.plan, qpos, self.ee_body)
         return ax - jnp.asarray([0.0, 0.0, -1.0], qpos.dtype)
 
+    def ee_geom(self, qpos: jax.Array):
+        """(grasp-center pos, approach axis error, J_pos, J_axis) from one
+        FK pass (physics/chain.chain_ee_geom): the shared primitive of the
+        reach costs and their Gauss-Newton quadratizations. Callers that
+        only need the values leave the Jacobians to XLA's dead-code
+        elimination."""
+        p, xa, Jp, Ja = chain_ee_geom(self.plan, qpos, self.ee_body)
+        return (p - jnp.asarray(EE_OFFSET, qpos.dtype),
+                xa - jnp.asarray([0.0, 0.0, -1.0], qpos.dtype), Jp, Ja)
+
     def hold_ctrl(self, qpos: jax.Array) -> jax.Array:
         """Gravity-compensation controls at rest: ctrl = qfrc_bias / gear,
         clipped to the actuator range. Used as the iLQR warm start so the
@@ -171,8 +181,8 @@ class GraspMPC:
     def _reach_stage(self, x, u, target):
         w = self.w
         q, qd = x[: self.nq], x[self.nq:]
-        e = self.ee_pos(q) - target
-        a = self.ee_axis_err(q)
+        p, a, _, _ = self.ee_geom(q)
+        e = p - target
         posture = q - jnp.asarray(self.home, x.dtype)
         return (0.5 * w.w_ee_run * e @ e
                 + 0.5 * w.w_orient * a @ a
@@ -183,8 +193,8 @@ class GraspMPC:
     def _reach_term(self, x, target):
         w = self.w
         q, qd = x[: self.nq], x[self.nq:]
-        e = self.ee_pos(q) - target
-        a = self.ee_axis_err(q)
+        p, a, _, _ = self.ee_geom(q)
+        e = p - target
         return (0.5 * w.w_ee * (e @ e) + 0.5 * w.w_orient_term * (a @ a)
                 + 0.5 * 10.0 * w.w_vel * (qd @ qd))
 
@@ -212,10 +222,8 @@ class GraspMPC:
         w = self.w
         nq = self.nq
         q, qd = x[:nq], x[nq:]
-        e = self.ee_pos(q) - target
-        a = self.ee_axis_err(q)
-        J = jax.jacfwd(self.ee_pos)(q)                      # (3, nq)
-        Ja = jax.jacfwd(self.ee_axis_err)(q)                # (3, nq)
+        p, a, J, Ja = self.ee_geom(q)      # geometric Jacobians, one FK
+        e = p - target
         eye = jnp.eye(nq, dtype=x.dtype)
         Xq = (w.w_ee_run * J.T @ J + w.w_orient * Ja.T @ Ja
               + w.w_posture * eye)
@@ -232,10 +240,8 @@ class GraspMPC:
         w = self.w
         nq = self.nq
         q, qd = x[:nq], x[nq:]
-        e = self.ee_pos(q) - target
-        a = self.ee_axis_err(q)
-        J = jax.jacfwd(self.ee_pos)(q)
-        Ja = jax.jacfwd(self.ee_axis_err)(q)
+        p, a, J, Ja = self.ee_geom(q)
+        e = p - target
         eye = jnp.eye(nq, dtype=x.dtype)
         XH = jax.scipy.linalg.block_diag(
             w.w_ee * J.T @ J + w.w_orient_term * Ja.T @ Ja,
@@ -281,7 +287,8 @@ class GraspMPC:
         return ilqr(self.dyn_step, self._reach_stage, self._reach_term,
                     x0, u_init, targets, target, iters=self.iters,
                     parallel=self.parallel, u_lo=self.u_lo, u_hi=self.u_hi,
-                    lin_chunks=self.lin_chunks)
+                    lin_chunks=self.lin_chunks, quad_fn=self._reach_quad,
+                    term_quad_fn=self._reach_term_quad)
 
     @partial(jax.jit, static_argnums=0)
     def solve_batch(self, state: State, targets: jax.Array) -> ILQRResult:
@@ -347,4 +354,5 @@ class GraspMPC:
         return ilqr(self.dyn_step, self._track_stage, self._track_term,
                     x0, u_init, refs, term_ref, iters=self.iters,
                     parallel=self.parallel, u_lo=self.u_lo, u_hi=self.u_hi,
-                    lin_chunks=self.lin_chunks)
+                    lin_chunks=self.lin_chunks, quad_fn=self._track_quad,
+                    term_quad_fn=self._track_term_quad)

@@ -54,6 +54,8 @@ def ilqr(
     u_lo=None,
     u_hi=None,
     lin_chunks: int = 1,
+    quad_fn: Callable = None,       # (x, u, ref) -> (X, q, U, r)
+    term_quad_fn: Callable = None,  # (x, ref) -> (XH, qH)
 ) -> ILQRResult:
     """Solve one trajectory-optimization problem. jit/vmap-safe; all loop
     bounds static.
@@ -84,12 +86,25 @@ def ilqr(
         L = jax.jacfwd(dyn_step, argnums=1)(x, u)
         return F, L
 
-    def quad_cost(x, u, ref):
-        q = jax.grad(cost_fn, argnums=0)(x, u, ref)
-        r = jax.grad(cost_fn, argnums=1)(x, u, ref)
-        X = jax.hessian(cost_fn, argnums=0)(x, u, ref)
-        U = jax.hessian(cost_fn, argnums=1)(x, u, ref)
-        return X, q, U, r
+    # cost expansions: autodiff by default; callers can pass an analytic
+    # (typically Gauss-Newton) ``quad_fn`` instead. Besides being much
+    # cheaper than jax.hessian through an FK-bearing cost, a GN expansion
+    # is PSD BY CONSTRUCTION — the exact Hessian's FK curvature can make
+    # the stage cost indefinite far from the solution, and an indefinite
+    # Riccati recursion blows the Quu Cholesky into inf gains (observed on
+    # long-horizon reach solves at low iteration budgets).
+    if quad_fn is None:
+        def quad_fn(x, u, ref):
+            q = jax.grad(cost_fn, argnums=0)(x, u, ref)
+            r = jax.grad(cost_fn, argnums=1)(x, u, ref)
+            X = jax.hessian(cost_fn, argnums=0)(x, u, ref)
+            U = jax.hessian(cost_fn, argnums=1)(x, u, ref)
+            return X, q, U, r
+    if term_quad_fn is None:
+        def term_quad_fn(x, ref):
+            return (jax.hessian(term_cost_fn, argnums=0)(x, ref),
+                    jax.grad(term_cost_fn, argnums=0)(x, ref))
+    quad_cost = quad_fn
 
     def lin_all(xs_k, us_k):
         if lin_chunks == 1:
@@ -103,8 +118,7 @@ def ilqr(
         xs, us, cost, rg = carry
         F, L = lin_all(xs[:-1], us)
         X, q, U, r = jax.vmap(quad_cost)(xs[:-1], us, refs)
-        XH = jax.hessian(term_cost_fn, argnums=0)(xs[-1], term_ref)
-        qH = jax.grad(term_cost_fn, argnums=0)(xs[-1], term_ref)
+        XH, qH = term_quad_fn(xs[-1], term_ref)
         # expansion around the nominal: defect c = 0 (rollout is exact)
         p = LQR(F=F, L=L, c=jnp.zeros_like(xs[:-1]), X=X, q=q,
                 U=U, r=r, XH=XH, qH=qH)
@@ -141,8 +155,7 @@ def ilqr(
     # final policy around the converged trajectory (for MPC execution)
     F, L = lin_all(xs[:-1], us)
     X, q, U, r = jax.vmap(quad_cost)(xs[:-1], us, refs)
-    XH = jax.hessian(term_cost_fn, argnums=0)(xs[-1], term_ref)
-    qH = jax.grad(term_cost_fn, argnums=0)(xs[-1], term_ref)
+    XH, qH = term_quad_fn(xs[-1], term_ref)
     p = LQR(F=F, L=L, c=jnp.zeros_like(xs[:-1]), X=X, q=q, U=U, r=r,
             XH=XH, qH=qH)
     gains = backward(p, reg=reg)

@@ -39,6 +39,7 @@ from mujoco_rl_ur5_tpu.mpc.ilqr import ILQRResult
 from mujoco_rl_ur5_tpu.mpc.lqr import (
     LQR, Gains, backward_parallel, backward_sequential,
 )
+from mujoco_rl_ur5_tpu.mpc.pallas_lqr import backward_pallas
 from mujoco_rl_ur5_tpu.physics.chain import ChainPlan
 from mujoco_rl_ur5_tpu.physics.pallas_chain import (
     lin_fd, rollout_closed, rollout_open,
@@ -70,13 +71,14 @@ def ilqr_chain_batch(
     at B=1024 H=64 on TPU), while the GN expansion needs only the EE
     Jacobian — and guarantees PSD stage Hessians.
 
-    ``parallel_backward`` selects the Riccati pass; default (None) uses the
-    associative-scan pass only for small batches. At B >= 1024 the batch
-    axis alone saturates the chip, and the parallel-in-time formulation's
-    ~7x element-work overhead (log-depth composition of 5-tuple elements
-    incl. a general 16x16 solve each) is pure loss; the classic O(H) scan
-    of small batched MXU ops is faster AND compiles an order of magnitude
-    smaller."""
+    ``parallel_backward`` selects the Riccati pass. Default (None): on TPU
+    the fused Pallas kernel (mpc/pallas_lqr.backward_pallas — one launch
+    for the whole recursion; scripts/backward_profile.py); off-TPU the
+    associative-scan pass for small batches and the classic O(H) scan
+    otherwise (at B >= 1024 the batch axis alone saturates the chip and
+    the parallel-in-time formulation's ~7x element-work overhead is pure
+    loss — it also compiles an order of magnitude larger). Explicit
+    True/False forces the XLA associative-scan / sequential pass."""
     B, H, nu = u_init.shape
     nx = x0.shape[-1]
     alphas_t = tuple(float(a) for a in alphas)
@@ -104,16 +106,22 @@ def ilqr_chain_batch(
     vquad = jax.vmap(jax.vmap(quad_fn))
     vterm = jax.vmap(term_quad_fn)
 
-    if parallel_backward is None:
-        parallel_backward = B < 1024
-    backward = backward_parallel if parallel_backward else backward_sequential
+    use_kernel = (parallel_backward is None
+                  and jax.default_backend() == "tpu")
+    if use_kernel:
+        backward_batch = backward_pallas
+    else:
+        backward = (backward_parallel
+                    if (B < 1024 if parallel_backward is None
+                        else parallel_backward)
+                    else backward_sequential)
 
-    def backward_batch(F, L, X, q, U, r, XH, qH, rg):
-        def one(F, L, X, q, U, r, XH, qH, rg):
-            p = LQR(F=F, L=L, c=jnp.zeros((H, nx), F.dtype), X=X, q=q,
-                    U=U, r=r, XH=XH, qH=qH)
-            return backward(p, reg=rg)
-        return jax.vmap(one)(F, L, X, q, U, r, XH, qH, rg)
+        def backward_batch(F, L, X, q, U, r, XH, qH, rg):
+            def one(F, L, X, q, U, r, XH, qH, rg):
+                p = LQR(F=F, L=L, c=jnp.zeros((H, nx), F.dtype), X=X, q=q,
+                        U=U, r=r, XH=XH, qH=qH)
+                return backward(p, reg=rg)
+            return jax.vmap(one)(F, L, X, q, U, r, XH, qH, rg)
 
     def expand_and_backward(xs, us, rg):
         F, L = lin_fd(plan, substeps, xs[:, :-1], us)

@@ -132,3 +132,34 @@ def test_equality_coupling_matches_mujoco(arm):
     r_my = (q_my[rik] - home[rik]) - (q_my[lik] - home[lik])
     r_mj = (q_mj[rik] - home[rik]) - (q_mj[lik] - home[lik])
     assert abs(r_my - r_mj) < 1.5e-3, (r_my, r_mj)
+
+
+def test_chain_ee_geom_matches_autodiff(arm):
+    """The geometric EE Jacobians (z_d x (p - anchor_d), z_d x x_axis)
+    equal jacfwd through the FK — the primitive behind GraspMPC's reach
+    costs and Gauss-Newton quadratizations (mpc/grasp_mpc.ee_geom)."""
+    from mujoco_rl_ur5_tpu.physics.chain import (
+        chain_body_xaxis, chain_ee_geom,
+    )
+
+    model, plan = arm
+    ee = model.topo.body_id("ee_link")
+    for seed in (3, 4):
+        q, _, _ = _rand_qvu(model, seed=seed)
+        p, xa, Jp, Ja = chain_ee_geom(plan, q, ee)
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(chain_body_pos(plan, q, ee)),
+            atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(xa), np.asarray(chain_body_xaxis(plan, q, ee)),
+            atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(Jp),
+            np.asarray(jax.jacfwd(
+                lambda q: chain_body_pos(plan, q, ee))(q)),
+            atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(Ja),
+            np.asarray(jax.jacfwd(
+                lambda q: chain_body_xaxis(plan, q, ee))(q)),
+            atol=1e-9)

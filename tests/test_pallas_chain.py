@@ -137,3 +137,38 @@ def test_batch_padding(plan):
     ref = _rollout_ref(plan, x0, us)
     np.testing.assert_allclose(np.asarray(xs), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_backward_pallas_matches_sequential():
+    """The fused Riccati backward kernel (mpc/pallas_lqr.py) equals
+    vmap(backward_sequential) bit-for-algorithm on random LQT data,
+    including per-scenario LM regularization. Small nx/nu: interpret mode
+    unrolls the grid, so the CPU gate uses a small-matrix instance of the
+    same generic kernel (the TPU shapes are exercised by bench.py)."""
+    from mujoco_rl_ur5_tpu.mpc.lqr import LQR, backward_sequential
+    from mujoco_rl_ur5_tpu.mpc.pallas_lqr import backward_pallas
+
+    B, H, nx_, nu_ = 3, 4, 4, 2
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    F = 0.1 * jax.random.normal(ks[0], (B, H, nx_, nx_)) + jnp.eye(nx_)
+    L = 0.1 * jax.random.normal(ks[1], (B, H, nx_, nu_))
+    c = jnp.zeros((B, H, nx_))
+    W = jax.random.normal(ks[2], (B, H, nx_, nx_))
+    X = 0.1 * W @ jnp.swapaxes(W, -1, -2) + jnp.eye(nx_)
+    q = jax.random.normal(ks[3], (B, H, nx_))
+    U = jnp.tile(jnp.eye(nu_), (B, H, 1, 1))
+    r = jax.random.normal(ks[4], (B, H, nu_))
+    WH = jax.random.normal(ks[5], (B, nx_, nx_))
+    XH = 0.1 * WH @ jnp.swapaxes(WH, -1, -2) + jnp.eye(nx_)
+    qH = jax.random.normal(ks[6], (B, nx_))
+    rg = jnp.asarray([1e-6, 1e-3, 1.0])
+
+    ref = jax.vmap(
+        lambda F, L, c, X, q, U, r, XH, qH, rg: backward_sequential(
+            LQR(F, L, c, X, q, U, r, XH, qH), reg=rg)
+    )(F, L, c, X, q, U, r, XH, qH, rg)
+    out = backward_pallas(F, L, X, q, U, r, XH, qH, rg)
+    for name in ("K", "d", "S", "s"):
+        a, b = getattr(out, name), getattr(ref, name)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4, err_msg=name)
