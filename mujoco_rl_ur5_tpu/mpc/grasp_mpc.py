@@ -110,6 +110,7 @@ class GraspMPC:
         self.plan = make_chain_plan(self.arm)
         self.use_pallas = (jax.default_backend() == "tpu"
                            if use_pallas is None else use_pallas)
+        self._build_kernel_costs()
 
     @classmethod
     def from_scene(cls, path: str, **kw) -> "GraspMPC":
@@ -273,6 +274,64 @@ class GraspMPC:
                               w.w_track_vel * (x[nq:] - ref[1])])
         return XH, qH
 
+    # -- fused in-kernel candidate costs (physics/pallas_chain.rollout_closed)
+
+    def _build_kernel_costs(self):
+        """Symbolic stage/terminal cost builders mirroring _reach_stage /
+        _track_stage for the fused line-search kernel. Built once per
+        instance: the callback objects are static jit keys."""
+        from mujoco_rl_ur5_tpu.physics.pallas_chain import (
+            make_fk, sadd, smul, ssub,
+        )
+
+        w = self.w
+        nq, nu = self.nq, self.nu
+        slot = int(np.nonzero(self.plan.body_ids == self.ee_body)[0][0])
+        fk = make_fk(self.plan)
+        off = [float(o) for o in EE_OFFSET]
+        down = [0.0, 0.0, -1.0]
+        home = [float(h) for h in self.home]
+
+        def sq(xs):
+            return sadd(*[smul(x, x) for x in xs], 0.0)
+
+        def ee_err(q, tr):
+            xpos, xrot, _, _ = fk(q)
+            e = [ssub(ssub(xpos[slot][i], off[i]), tr[i]) for i in range(3)]
+            a = [ssub(xrot[slot][i][0], down[i]) for i in range(3)]
+            return e, a
+
+        def reach_stage(q, v, u, sr, tr):
+            e, a = ee_err(q, tr)
+            post = [ssub(q[i], home[i]) for i in range(nq)]
+            return sadd(smul(0.5 * w.w_ee_run, sq(e)),
+                        smul(0.5 * w.w_orient, sq(a)),
+                        smul(0.5 * w.w_vel, sq(v)),
+                        smul(0.5 * w.w_ctrl, sq(u)),
+                        smul(0.5 * w.w_posture, sq(post)))
+
+        def reach_term_cb(q, v, tr):
+            e, a = ee_err(q, tr)
+            return sadd(smul(0.5 * w.w_ee, sq(e)),
+                        smul(0.5 * w.w_orient_term, sq(a)),
+                        smul(0.5 * 10.0 * w.w_vel, sq(v)))
+
+        def track_stage(q, v, u, sr, tr):
+            dq = [ssub(q[i], sr[i]) for i in range(nq)]
+            dv = [ssub(v[i], sr[nq + i]) for i in range(nq)]
+            return sadd(smul(0.5 * w.w_track, sq(dq)),
+                        smul(0.5 * w.w_track_vel, sq(dv)),
+                        smul(0.5 * w.w_ctrl, sq(u)))
+
+        def track_term_cb(q, v, tr):
+            dq = [ssub(q[i], tr[i]) for i in range(nq)]
+            dv = [ssub(v[i], tr[nq + i]) for i in range(nq)]
+            return sadd(smul(0.5 * 20.0 * w.w_track, sq(dq)),
+                        smul(0.5 * w.w_track_vel, sq(dv)))
+
+        self._k_reach = (reach_stage, reach_term_cb)
+        self._k_track = (track_stage, track_term_cb)
+
     # -- solves ------------------------------------------------------------------
 
     @partial(jax.jit, static_argnums=0)
@@ -310,7 +369,8 @@ class GraspMPC:
                 self.plan, self.substeps, self._reach_stage,
                 self._reach_term, x0, u_init, refs, targets,
                 iters=self.iters, quad_fn=self._reach_quad,
-                term_quad_fn=self._reach_term_quad)
+                term_quad_fn=self._reach_term_quad,
+                kernel_cost=(self._k_reach, None, targets))
         return jax.vmap(lambda x, t: self.solve(x, t))(x0, targets)
 
     @partial(jax.jit, static_argnums=0)
@@ -328,11 +388,14 @@ class GraspMPC:
         if self.use_pallas:
             refs = (q_refs[:, :-1], qd_refs[:, :-1])
             term_ref = (q_refs[:, -1], qd_refs[:, -1])
+            sref = jnp.concatenate(refs, axis=-1)          # (B, H, 2nq)
+            tref = jnp.concatenate(term_ref, axis=-1)      # (B, 2nq)
             return ilqr_chain_batch(
                 self.plan, self.substeps, self._track_stage,
                 self._track_term, x0, u_init, refs, term_ref,
                 iters=self.iters, quad_fn=self._track_quad,
-                term_quad_fn=self._track_term_quad)
+                term_quad_fn=self._track_term_quad,
+                kernel_cost=(self._k_track, sref, tref))
         return jax.vmap(self.track)(x0, q_refs, qd_refs, u_init)
 
     @partial(jax.jit, static_argnums=0)

@@ -61,6 +61,7 @@ def ilqr_chain_batch(
     quad_fn: Callable = None,       # (x, u, ref) -> (X, q, U, r)
     term_quad_fn: Callable = None,  # (x, ref) -> (XH, qH)
     parallel_backward: bool = None,
+    kernel_cost=None,               # ((stage_cb, term_cb), sref, tref)
 ) -> ILQRResult:
     """Solve B independent trajectory optimizations in lock-step. Returns
     an ILQRResult with a leading batch axis on every field.
@@ -132,12 +133,21 @@ def ilqr_chain_batch(
     def iteration(carry, _):
         xs, us, cost, rg = carry
         gains = expand_and_backward(xs, us, rg)
-        xs_c, us_c = rollout_closed(plan, substeps, x0, xs, us,
-                                    gains.K, gains.d, alphas_t)
-        costs = jax.vmap(
-            lambda xsb, usb, rb, tb: jax.vmap(
-                lambda xa, ua: inst_cost(xa, ua, rb, tb))(xsb, usb)
-        )(xs_c, us_c, refs, term_ref)                      # (B, A)
+        if kernel_cost is not None:
+            # candidate costs fused into the line-search kernel: the
+            # separate B x A x H cost pass (an FK per state) was ~25% of
+            # each iteration at B=4096
+            cbs, k_sref, k_tref = kernel_cost
+            xs_c, us_c, costs = rollout_closed(
+                plan, substeps, x0, xs, us, gains.K, gains.d, alphas_t,
+                cost=cbs, sref=k_sref, tref=k_tref)
+        else:
+            xs_c, us_c = rollout_closed(plan, substeps, x0, xs, us,
+                                        gains.K, gains.d, alphas_t)
+            costs = jax.vmap(
+                lambda xsb, usb, rb, tb: jax.vmap(
+                    lambda xa, ua: inst_cost(xa, ua, rb, tb))(xsb, usb)
+            )(xs_c, us_c, refs, term_ref)                  # (B, A)
         best = jnp.argmin(costs, axis=1)
         bcost = jnp.take_along_axis(costs, best[:, None], 1)[:, 0]
         xs_b = jnp.take_along_axis(

@@ -167,9 +167,15 @@ class MPCGraspPolicy:
         qt = q0.at[: q5.shape[-1]].set(jnp.where(ok, q5, q0[: q5.shape[-1]]))
         if wrist is not None:
             qt = qt.at[5].set(jnp.asarray(wrist, f))
-        a = jnp.linspace(0.0, 1.0, m.H + 1, dtype=f)[:, None]
+        # smoothstep ramp (zero end slope): a LINEAR knot ramp leaves the
+        # executed arm at full slew speed at the final knot (~1 rad/s
+        # residual measured), which the next phase inherits
+        s = jnp.linspace(0.0, 1.0, m.H + 1, dtype=f)[:, None]
+        a = s * s * (3.0 - 2.0 * s)
         q_refs = q0[None] * (1 - a) + qt[None] * a
-        res = m.track(x0, q_refs)
+        T = m.H * m.substeps * self.dt
+        qd_refs = (qt - q0)[None] * (6.0 * s * (1.0 - s)) / T
+        res = m.track(x0, q_refs, qd_refs)
         st, ps = self.execute(state, pid, res, grip_sp)
         ee = m.ee_pos(m.x_from_state(st)[: m.nq])
         return st, ps, jnp.linalg.norm(ee - target)
@@ -178,33 +184,21 @@ class MPCGraspPolicy:
     def hold(self, state: State, pid: PIDState, grip_sp: jax.Array,
              steps: int):
         """Hold the current arm posture for ``steps`` physics steps while
-        the gripper PID drives to ``grip_sp`` (the close/settle phases:
-        MujocoController.py:418-444 + GraspingEnv.py:268-279). The arm uses
-        the gravity-compensation control plus a proportional posture term —
-        the same fixed point the plan's terminal knot converges to."""
-        m = self.mpc
-        x_ref = m.x_from_state(state)
-        u_hold = m.hold_ctrl(x_ref[: m.nq])
-        fb = jnp.asarray(self.fb_mask, state.qpos.dtype)
-        u_lo = jnp.asarray(m.u_lo, state.qpos.dtype)
-        u_hi = jnp.asarray(m.u_hi, state.qpos.dtype)
-        # critically-damped PD on the arm around the held posture
-        kp, kd = 15.0, 1.0
+        the gripper drives to ``grip_sp`` — the reference's stay/close
+        phases verbatim (MujocoController.py:418-444, 621-637): the whole
+        actuator bank runs the reference PID law with arm setpoints frozen
+        at the entry pose. (An earlier torque-PD hold with stiff gains
+        saturated the +-2 ctrl clip into a bang-bang limit cycle that
+        launched the grasp object; the reference gains are tuned stable
+        under the same clip.)"""
         qadr = self.model.topo.jnt_qposadr[self.model.topo.act_jnt]
-        act_dof = np.asarray(m.plan.act_dof)     # dof driven by actuator i
+        sp = state.qpos[qadr].at[self.grip_act].set(grip_sp)
 
         def sub(carry, _):
             st, ps = carry
-            x = m.x_from_state(st)
-            e = (x_ref - x) * fb
-            u_arm = jnp.clip(
-                u_hold + kp * e[: m.nq][act_dof] + kd * e[m.nq:][act_dof],
-                u_lo, u_hi)
             q = st.qpos[qadr]
-            sp = q.at[self.grip_act].set(grip_sp)
-            pid_u, ps = pid_output(self.gains, ps, sp, q, self.dt)
-            ctrl = u_arm.at[self.grip_act].set(pid_u[self.grip_act])
-            st = dynamics.step(self.model, st.replace(ctrl=ctrl),
+            u, ps = pid_output(self.gains, ps, sp, q, self.dt)
+            st = dynamics.step(self.model, st.replace(ctrl=u),
                                ncon=self.ncon, iterations=self.iterations)
             return (st, ps), None
 
@@ -236,6 +230,10 @@ class MPCGraspPolicy:
 
         st, pid, _ = self.move_to(state, pid, pre, open_sp)
         st, pid, _ = self.move_to(st, pid, low, open_sp)
+        # stay(100 ms) before closing (GraspingEnv.py:268: residual descend
+        # velocity at the fingertips ejects the object otherwise — verified:
+        # the same close law launches the box without this settle)
+        st, pid = self.hold(st, pid, open_sp, 50)
         st, pid = self.hold(st, pid, close_sp, close_steps)
         st, pid, ee_err = self.move_to(st, pid, pre, close_sp)
 

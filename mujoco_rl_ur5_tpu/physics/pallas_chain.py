@@ -164,6 +164,64 @@ def _cvec(v) -> list:
 # -- generated substep --------------------------------------------------------
 
 
+def make_fk(plan: ChainPlan):
+    """Standalone symbolic FK over entry lists (the same generated code
+    make_substep uses internally): fk(q) -> (xpos, xrot, anchor, axis_w).
+    Used by the fused in-kernel cost evaluation (make_reach_cost in
+    mpc/grasp_mpc.py) — unused outputs are dead-code-eliminated when the
+    kernel jaxpr is lowered."""
+    nv, nmov = plan.nv, plan.nmov
+    body_pos = [_cvec(p) for p in plan.body_pos]
+    body_rot = [_cmat(r) for r in plan.body_rot]
+    parent_slot = [int(s) for s in plan.parent_slot]
+    parent_p = [_cvec(p[:3]) for p in plan.parent_pose]
+    parent_r = [_cmat(p[3:].reshape(3, 3)) for p in plan.parent_pose]
+    jnt_dof = [int(d) for d in plan.jnt_dof]
+    jnt_pos = [_cvec(p) for p in plan.jnt_pos]
+    jnt_axis = [_cvec(a) for a in plan.jnt_axis]
+    jnt_ref = [_c(r) for r in plan.jnt_ref]
+
+    def fk(q):
+        xpos, xrot = [], []
+        anchor = [None] * nv
+        axis_w = [None] * nv
+        for i in range(nmov):
+            ps = parent_slot[i]
+            if ps >= 0:
+                pp, pr = xpos[ps], xrot[ps]
+            else:
+                pp, pr = parent_p[i], parent_r[i]
+            p_pre = svadd(pp, smv(pr, body_pos[i]))
+            r_pre = smm(pr, body_rot[i])
+            d = jnt_dof[i]
+            if d >= 0:
+                th = ssub(q[d], jnt_ref[i])
+                cth, sth = jnp.cos(th), jnp.sin(th)
+                ax = jnt_axis[i]
+                aa = [[_c(ax[a] * ax[b]) for b in range(3)]
+                      for a in range(3)]
+                K = [[0.0, -ax[2], ax[1]],
+                     [ax[2], 0.0, -ax[0]],
+                     [-ax[1], ax[0], 0.0]]
+                rj = [[sadd(aa[a][b],
+                            smul(cth,
+                                 _c((1.0 if a == b else 0.0) - aa[a][b])),
+                            smul(sth, _c(K[a][b])))
+                       for b in range(3)] for a in range(3)]
+                jp = jnt_pos[i]
+                anchor[d] = svadd(p_pre, smv(r_pre, jp))
+                p = svadd(p_pre, smv(r_pre, svsub(jp, smv(rj, jp))))
+                r = smm(r_pre, rj)
+                axis_w[d] = smv(r, ax)
+            else:
+                p, r = p_pre, r_pre
+            xpos.append(p)
+            xrot.append(r)
+        return xpos, xrot, anchor, axis_w
+
+    return fk
+
+
 def make_substep(plan: ChainPlan):
     """Build substep(q, v, u) -> (q2, v2) on lists of same-shape arrays.
 
@@ -517,10 +575,11 @@ def rollout_open(plan: ChainPlan, substeps: int, x0: jax.Array,
     return from_tiles(out, B)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 7))
+@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8))
 def rollout_closed(plan: ChainPlan, substeps: int, x0: jax.Array,
                    xbar: jax.Array, ubar: jax.Array, K: jax.Array,
-                   d: jax.Array, alphas: tuple) -> tuple:
+                   d: jax.Array, alphas: tuple, cost=None,
+                   sref: jax.Array = None, tref: jax.Array = None) -> tuple:
     """Line-search rollouts for ALL alphas in one kernel launch.
 
     x0 (B, nx), xbar (B, H+1, nx), ubar (B, H, nu), K (B, H, nu, nx),
@@ -532,7 +591,15 @@ def rollout_closed(plan: ChainPlan, substeps: int, x0: jax.Array,
     one CH-knot chunk at a time, and the per-alpha (q, v) state carries
     across chunks in scratch (chunk axis is fastest, so each alpha's
     rollout completes before the next alpha reuses the scratch).
-    """
+
+    ``cost`` fuses the line search's candidate-cost evaluation into the
+    same launch (the separate B x A x H cost pass was ~25%% of each iLQR
+    iteration at B=4096): a static pair (stage_cb, term_cb) of symbolic
+    builders — stage_cb(q, v, u, sref_k, tref) and term_cb(q, v, tref)
+    over entry lists — accumulated per knot into a lane-tile scratch.
+    ``sref`` (B, H, R) streams per-knot references (tracking), ``tref``
+    (B, RT) holds per-scenario constants (targets / terminal refs). With
+    ``cost`` set the return is (xs, us, costs (B, A))."""
     nv, nu = plan.nv, plan.nu
     nx = 2 * nv
     B, H = ubar.shape[0], ubar.shape[1]
@@ -549,8 +616,21 @@ def rollout_closed(plan: ChainPlan, substeps: int, x0: jax.Array,
     CH = H // HC
     alphas_arr = jnp.asarray(alphas, jnp.float32)
 
-    def kernel(al_ref, x0_ref, xb_ref, ub_ref, K_ref, d_ref,
-               xs_ref, us_ref, qv):
+    R = 0 if sref is None else sref.shape[-1]
+    RT = 0 if tref is None else tref.shape[-1]
+
+    def kernel(al_ref, x0_ref, xb_ref, ub_ref, K_ref, d_ref, *rest):
+        if cost is not None:
+            refs_in = rest[: (sref is not None) + (tref is not None)]
+            xs_ref, us_ref, cost_ref = rest[len(refs_in): len(refs_in) + 3]
+            qv, acc = rest[len(refs_in) + 3:]
+            sref_ref = refs_in[0] if sref is not None else None
+            tref_ref = refs_in[-1] if tref is not None else None
+            tr = ([tref_ref[0, i] for i in range(RT)]
+                  if tref is not None else [])
+        else:
+            xs_ref, us_ref = rest[0], rest[1]
+            qv = rest[2]
         a = pl.program_id(1)
         j = pl.program_id(2)
         alpha = al_ref[a]
@@ -559,6 +639,8 @@ def rollout_closed(plan: ChainPlan, substeps: int, x0: jax.Array,
         def _():
             for i in range(nx):
                 qv[i] = x0_ref[0, i]
+            if cost is not None:
+                acc[0] = jnp.zeros(TILE, x0_ref.dtype)
         for i in range(nx):
             xs_ref[0, 0, 0, i] = qv[i]
 
@@ -568,14 +650,18 @@ def rollout_closed(plan: ChainPlan, substeps: int, x0: jax.Array,
             x = q + v
             u = []
             for jj in range(nu):
-                acc = sadd(
+                uacc = sadd(
                     ub_ref[0, kk, jj],
                     alpha * d_ref[0, kk, jj],
                     *[smul(K_ref[0, kk, jj, i],
                            ssub(x[i], xb_ref[0, kk, i]))
                       for i in range(nx)])
-                u.append(jnp.clip(acc, lo[jj], hi[jj]))
+                u.append(jnp.clip(uacc, lo[jj], hi[jj]))
                 us_ref[0, 0, kk, jj] = u[jj]
+            if cost is not None:
+                sr = ([sref_ref[0, kk, i] for i in range(R)]
+                      if sref is not None else [])
+                acc[0] = acc[0] + cost[0](q, v, u, sr, tr)
             q, v = knot(q, v, u)
             for i in range(nv):
                 qv[i] = q[i]
@@ -585,6 +671,12 @@ def rollout_closed(plan: ChainPlan, substeps: int, x0: jax.Array,
             return 0
 
         jax.lax.fori_loop(0, CH, body, 0)
+        if cost is not None:
+            @pl.when(j == HC - 1)
+            def _():
+                q = [qv[i] for i in range(nv)]
+                v = [qv[nv + i] for i in range(nv)]
+                cost_ref[0, 0] = acc[0] + cost[1](q, v, tr)
 
     x0t = to_tiles(x0)
     xbt = to_tiles(xbar[:, :H])          # terminal knot not needed
@@ -592,43 +684,65 @@ def rollout_closed(plan: ChainPlan, substeps: int, x0: jax.Array,
     Kt = to_tiles(K)
     dt_ = to_tiles(d)
     T = x0t.shape[0]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, nx) + TILE, lambda t, a, j: (t, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CH, nx) + TILE,
+                     lambda t, a, j: (t, j, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CH, nu) + TILE,
+                     lambda t, a, j: (t, j, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CH, nu, nx) + TILE,
+                     lambda t, a, j: (t, j, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CH, nu) + TILE,
+                     lambda t, a, j: (t, j, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [alphas_arr, x0t, xbt, ubt, Kt, dt_]
     # xs blocks overlap by one knot (chunk j writes knots j*CH..j*CH+CH);
     # allocate HC*(CH+1) and un-chunk after.
-    xs, us = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, 1, CH + 1, nx) + TILE,
+                     lambda t, a, j: (t, a, j, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, CH, nu) + TILE,
+                     lambda t, a, j: (t, a, j, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, A, HC * (CH + 1), nx) + TILE, x0.dtype),
+        jax.ShapeDtypeStruct((T, A, H, nu) + TILE, x0.dtype),
+    ]
+    scratch = [pltpu.VMEM((nx,) + TILE, x0.dtype)]
+    if cost is not None:
+        if sref is not None:
+            in_specs.append(pl.BlockSpec(
+                (1, CH, R) + TILE, lambda t, a, j: (t, j, 0, 0, 0),
+                memory_space=pltpu.VMEM))
+            args.append(to_tiles(sref))
+        if tref is not None:
+            in_specs.append(pl.BlockSpec(
+                (1, RT) + TILE, lambda t, a, j: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM))
+            args.append(to_tiles(tref))
+        out_specs.append(pl.BlockSpec(
+            (1, 1) + TILE, lambda t, a, j: (t, a, 0, 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((T, A) + TILE, x0.dtype))
+        scratch.append(pltpu.VMEM((1,) + TILE, x0.dtype))
+    out = pl.pallas_call(
         kernel,
         grid=(T, A, HC),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nx) + TILE, lambda t, a, j: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CH, nx) + TILE,
-                         lambda t, a, j: (t, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CH, nu) + TILE,
-                         lambda t, a, j: (t, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CH, nu, nx) + TILE,
-                         lambda t, a, j: (t, j, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CH, nu) + TILE,
-                         lambda t, a, j: (t, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, CH + 1, nx) + TILE,
-                         lambda t, a, j: (t, a, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CH, nu) + TILE,
-                         lambda t, a, j: (t, a, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((T, A, HC * (CH + 1), nx) + TILE, x0.dtype),
-            jax.ShapeDtypeStruct((T, A, H, nu) + TILE, x0.dtype),
-        ),
-        scratch_shapes=[pltpu.VMEM((nx,) + TILE, x0.dtype)],
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         interpret=_interpret(),
-    )(alphas_arr, x0t, xbt, ubt, Kt, dt_)
+    )(*args)
+    xs, us = out[0], out[1]
     # un-chunk the state axis: blocks of CH+1 knots overlap by one
     xs = from_tiles(xs, B)               # (B, A, HC*(CH+1), nx)
     xs = xs.reshape(B, A, HC, CH + 1, nx)
@@ -636,6 +750,8 @@ def rollout_closed(plan: ChainPlan, substeps: int, x0: jax.Array,
     rest = xs[:, :, :, 1:].reshape(B, A, H, nx)
     xs = jnp.concatenate([first, rest], axis=2)
     us = from_tiles(us, B)
+    if cost is not None:
+        return xs, us, from_tiles(out[2], B)
     return xs, us
 
 

@@ -7,6 +7,15 @@ bench re-runs, the driver's end-of-round benchmark — into a sub-second
 cache hit. Verified working on the axon TPU backend (485 s MPC compile
 -> seconds on re-run).
 
+TPU-ONLY by design: XLA:CPU serializes AOT executables specialized to
+the build host's CPU features, and reloading (or even re-serializing)
+them on a machine with a different feature set is unsound — observed
+as "+prefer-no-scatter is not supported on the host machine ... could
+lead to execution errors such as SIGILL" warnings and a reproducible
+SIGSEGV inside `put_executable_and_time` mid-test-suite when the CI
+host rotated. CPU compiles here are seconds, not minutes; the cache
+only ever paid for itself on the TPU path.
+
 Call `enable_compile_cache()` before the first jit. Safe to call more
 than once; a failure (read-only FS, unsupported backend) degrades to a
 warning instead of breaking the program.
@@ -26,6 +35,8 @@ def enable_compile_cache(path: str | None = None) -> None:
     import jax
 
     try:
+        if jax.default_backend() == "cpu":
+            return  # see module docstring: CPU executable caching is unsound
         jax.config.update("jax_compilation_cache_dir", path or _DEFAULT)
         # cache everything that takes >=1s to compile, regardless of size
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -55,7 +55,7 @@ def main():
                    use_pallas=False)
     pol = MPCGraspPolicy(model, mpc, ncon=64)
     state = make_state(model).replace(qpos=jnp.asarray(qpos, jnp.float32))
-    coords = jnp.asarray([0.0, -0.60, 0.93], jnp.float32)
+    coords = jnp.asarray([0.0, -0.60, 0.92], jnp.float32)
     f = jnp.float32
     pid = pid_init(pol.nu)
     stats("init", state, pol)
@@ -84,8 +84,35 @@ def main():
     ee = mpc.ee_pos(mpc.x_from_state(st2)[:mpc.nq])
     print(f"executed ee={np.round(np.asarray(ee),4)}", file=sys.stderr)
 
+    st2, ps = jax.block_until_ready(pol.hold(st2, ps, open_sp, 50))
+    stats("after stay", st2, pol); box(st2, "stay")
+
+    # A/B: reference-PID close from the same state (test_grasp_parity's law)
+    from mujoco_rl_ur5_tpu.control.pid import pid_output, reference_gains
+    from mujoco_rl_ur5_tpu.physics import dynamics
+
+    g = reference_gains()
+    qadr = pol.model.topo.jnt_qposadr[pol.model.topo.act_jnt]
+    sp_pid = st2.qpos[qadr].at[6].set(-0.4)
+
+    @jax.jit
+    def pid_close(st, ps, sp):
+        def body(carry, _):
+            st, ps = carry
+            q = st.qpos[qadr]
+            u, ps = pid_output(g, ps, sp, q, pol.dt)
+            st = dynamics.step(pol.model, st.replace(ctrl=u), ncon=pol.ncon,
+                               iterations=pol.iterations)
+            return (st, ps), None
+        (st, ps), _ = jax.lax.scan(body, (st, ps), None, length=250)
+        return st, ps
+    stp, _ = jax.block_until_ready(pid_close(st2, ps, sp_pid))
+    box(stp, "close[PID]")
+    print(f"  PID finger q={np.asarray(stp.qpos[pol.grip_qadr])}",
+          file=sys.stderr, flush=True)
+
     st3, ps = jax.block_until_ready(pol.hold(st2, ps, close_sp, 250))
-    stats("after close", st3, pol); box(st3, "close")
+    stats("after close", st3, pol); box(st3, "close[hold]")
     print(f"finger q={np.asarray(st3.qpos[pol.grip_qadr])}", file=sys.stderr)
 
     st4, ps, _ = pol.move_to(st3, ps, pre, close_sp)
@@ -97,3 +124,9 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def close_ab():
+    """A/B the close phase: pol.hold vs reference-PID close from the same
+    post-descend state (saved by main via np.save when DEBUG_SAVE=1)."""
+    pass

@@ -172,3 +172,59 @@ def test_backward_pallas_matches_sequential():
         a, b = getattr(out, name), getattr(ref, name)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4, err_msg=name)
+
+
+def test_rollout_closed_fused_costs_match_xla():
+    """rollout_closed's in-kernel cost accumulation (reach AND track
+    builders from GraspMPC._build_kernel_costs) equals the XLA stage-cost
+    sum over the same candidate trajectories."""
+    from mujoco_rl_ur5_tpu.mpc import GraspMPC
+    from mujoco_rl_ur5_tpu.mpc.lqr import Gains, rollout_policy
+    from mujoco_rl_ur5_tpu.scene.compile import load_model
+    from mujoco_rl_ur5_tpu.scene.reduce import load_arm_model
+
+    mpc = GraspMPC(load_model(SCENE), arm_model=load_arm_model(SCENE),
+                   horizon=H, substeps=SUBSTEPS, use_pallas=True)
+    plan = mpc.plan
+    B, nx, nu = 3, 2 * plan.nv, plan.nu
+    x0, us = _rand_states(plan, B, jax.random.PRNGKey(11))
+    xbar = _rollout_ref(plan, x0, us)
+    K = 0.05 * jax.random.normal(jax.random.PRNGKey(12), (B, H, nu, nx))
+    d = 0.1 * jax.random.normal(jax.random.PRNGKey(13), (B, H, nu))
+    alphas = (1.0, 0.3)
+
+    tg = jnp.tile(jnp.asarray([0.0, -0.6, 1.0]), (B, 1))
+    refs = jnp.tile(tg[:, None], (1, H, 1))
+    xs_c, us_c, costs = pc.rollout_closed(
+        plan, SUBSTEPS, x0, xbar, us, K, d, alphas,
+        cost=mpc._k_reach, sref=None, tref=tg)
+
+    def xla_cost(xs_i, us_i, t):
+        stage = jax.vmap(lambda x, u: mpc._reach_stage(x, u, t))(
+            xs_i[:-1], us_i)
+        return stage.sum() + mpc._reach_term(xs_i[-1], t)
+
+    ref_costs = jax.vmap(lambda xb, ub, t: jax.vmap(
+        lambda xa, ua: xla_cost(xa, ua, t))(xb, ub))(xs_c, us_c, tg)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(ref_costs),
+                               rtol=2e-4, atol=1e-4)
+
+    # track mode: per-knot streamed refs
+    q_refs = jnp.tile(x0[:, None, : plan.nv], (1, H + 1, 1))
+    qd_refs = jnp.zeros_like(q_refs)
+    sref = jnp.concatenate([q_refs[:, :-1], qd_refs[:, :-1]], -1)
+    tref = jnp.concatenate([q_refs[:, -1], qd_refs[:, -1]], -1)
+    xs_c, us_c, costs = pc.rollout_closed(
+        plan, SUBSTEPS, x0, xbar, us, K, d, alphas,
+        cost=mpc._k_track, sref=sref, tref=tref)
+
+    def xla_cost_t(xs_i, us_i, qr, vr):
+        stage = jax.vmap(lambda x, u, a, b: mpc._track_stage(x, u, (a, b)))(
+            xs_i[:-1], us_i, qr[:-1], vr[:-1])
+        return stage.sum() + mpc._track_term(xs_i[-1], (qr[-1], vr[-1]))
+
+    ref_costs = jax.vmap(lambda xb, ub, qr, vr: jax.vmap(
+        lambda xa, ua: xla_cost_t(xa, ua, qr, vr))(xb, ub))(
+        xs_c, us_c, q_refs, qd_refs)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(ref_costs),
+                               rtol=2e-4, atol=1e-4)
