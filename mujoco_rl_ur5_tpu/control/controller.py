@@ -35,7 +35,7 @@ from mujoco_rl_ur5_tpu.control.ik import ArmChain, ik_solve
 from mujoco_rl_ur5_tpu.control.pid import (
     PIDParams, PIDState, pid_init, pid_output, reference_gains,
 )
-from mujoco_rl_ur5_tpu.physics import dynamics, fk
+from mujoco_rl_ur5_tpu.physics import constraints, dynamics, fk
 from mujoco_rl_ur5_tpu.scene.model import Model, State
 
 GROUPS = {"All": (0, 1, 2, 3, 4, 5, 6), "Arm": (0, 1, 2, 3, 4), "Gripper": (6,)}
@@ -151,7 +151,7 @@ class Controller:
         qadr = self.act_qadr
 
         def body(carry, _):
-            st, ps, done, steps = carry
+            st, ps, warm, done, steps = carry
             q = st.qpos[..., qadr]
             ctrl, ps_new = pid_output(cstate.params, ps, cstate.setpoints, q, dt)
             if check_tolerance:
@@ -160,8 +160,9 @@ class Controller:
             else:
                 reached = jnp.zeros_like(done)
             done_new = done | reached
-            st_new = dynamics.step(model, st.replace(ctrl=ctrl), ncon=ncon,
-                                   iterations=iters)
+            st_new, warm_new = dynamics.step_warm(
+                model, st.replace(ctrl=ctrl), warm, ncon=ncon,
+                iterations=iters)
             keep = done_new
             st_out = jax.tree.map(
                 lambda a, b: jnp.where(
@@ -177,13 +178,22 @@ class Controller:
             )
             steps = steps + jnp.where(done_new, 0, 1).astype(jnp.int32)
             out = st_out.qpos[..., qadr] if record else None
-            return (st_out, ps_out, done_new, steps), out
+            return (st_out, ps_out, warm_new, done_new, steps), out
 
         batch = state.time.shape
         done0 = jnp.zeros(batch, bool)
         steps0 = jnp.zeros(batch, jnp.int32)
-        (st, ps, done, steps), traj = jax.lax.scan(
-            body, (state, cstate.pid, done0, steps0), None, length=max_steps
+        # warm-started constraint solver within the move (dynamics.step_warm:
+        # stiff persistent contacts — a grasp pinch — need the accumulated
+        # forces; each move starts cold, matching a freshly-reset solver)
+        warm0 = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, batch + a.shape),
+            constraints.init_warm(self.model,
+                                  jax.tree.map(lambda x: x[(0,) * len(batch)]
+                                               if batch else x, state)))
+        (st, ps, _, done, steps), traj = jax.lax.scan(
+            body, (state, cstate.pid, warm0, done0, steps0), None,
+            length=max_steps
         )
         res = MoveResult(state=st, ctrl=cstate.replace(pid=ps),
                          success=done, steps=steps)

@@ -45,7 +45,7 @@ from mujoco_rl_ur5_tpu.control.pid import (
 )
 from mujoco_rl_ur5_tpu.mpc.grasp_mpc import GraspMPC
 from mujoco_rl_ur5_tpu.mpc.ilqr import ILQRResult
-from mujoco_rl_ur5_tpu.physics import dynamics
+from mujoco_rl_ur5_tpu.physics import constraints, dynamics
 from mujoco_rl_ur5_tpu.scene.model import Model, State
 
 # gripper-joint close setpoint (MujocoController.py:425: close_gripper
@@ -109,29 +109,30 @@ class MPCGraspPolicy:
         u_hi = jnp.asarray(m.u_hi, state.qpos.dtype)
 
         def knot(carry, plan_k):
-            st, ps = carry
+            st, ps, warm = carry
             u_k, x_k, K_k = plan_k
             x = m.x_from_state(st)
             u_arm = jnp.clip(u_k + K_k @ ((x - x_k) * fb), u_lo, u_hi)
 
             def sub(carry, _):
-                st, ps = carry
+                st, ps, warm = carry
                 q = st.qpos[self.model.topo.jnt_qposadr[
                     self.model.topo.act_jnt]]
                 sp = q.at[self.grip_act].set(grip_sp)
                 pid_u, ps = pid_output(self.gains, ps, sp, q, self.dt)
                 ctrl = u_arm.at[self.grip_act].set(pid_u[self.grip_act])
-                st = dynamics.step(self.model, st.replace(ctrl=ctrl),
-                                   ncon=self.ncon,
-                                   iterations=self.iterations)
-                return (st, ps), None
+                st, warm = dynamics.step_warm(
+                    self.model, st.replace(ctrl=ctrl), warm,
+                    ncon=self.ncon, iterations=self.iterations)
+                return (st, ps, warm), None
 
-            (st, ps), _ = jax.lax.scan(sub, (st, ps), None,
-                                       length=m.substeps)
-            return (st, ps), None
+            (st, ps, warm), _ = jax.lax.scan(sub, (st, ps, warm), None,
+                                             length=m.substeps)
+            return (st, ps, warm), None
 
         plan = (res.us, res.xs[:-1], res.gains.K)
-        (st, ps), _ = jax.lax.scan(knot, (state, pid), plan)
+        warm0 = constraints.init_warm(self.model, state)
+        (st, ps, _), _ = jax.lax.scan(knot, (state, pid, warm0), plan)
         return st, ps
 
     def move_to(self, state: State, pid: PIDState, target: jax.Array,
@@ -195,14 +196,17 @@ class MPCGraspPolicy:
         sp = state.qpos[qadr].at[self.grip_act].set(grip_sp)
 
         def sub(carry, _):
-            st, ps = carry
+            st, ps, warm = carry
             q = st.qpos[qadr]
             u, ps = pid_output(self.gains, ps, sp, q, self.dt)
-            st = dynamics.step(self.model, st.replace(ctrl=u),
-                               ncon=self.ncon, iterations=self.iterations)
-            return (st, ps), None
+            st, warm = dynamics.step_warm(self.model, st.replace(ctrl=u),
+                                          warm, ncon=self.ncon,
+                                          iterations=self.iterations)
+            return (st, ps, warm), None
 
-        (st, ps), _ = jax.lax.scan(sub, (state, pid), None, length=steps)
+        warm0 = constraints.init_warm(self.model, state)
+        (st, ps, _), _ = jax.lax.scan(sub, (state, pid, warm0), None,
+                                      length=steps)
         return st, ps
 
     # -- the scripted pick ---------------------------------------------------

@@ -324,16 +324,44 @@ def _verts_vs_faces(verts_w, vmask, nw, dw, k, pad_big):
 
 
 def hull_hull(p1, q1, v1, m1, n1, d1, p2, q2, v2, m2, n2, d2):
-    """Generic convex-convex: 4 deepest verts each way (8 points)."""
+    """Generic convex-convex with a PAIR-CONSISTENT contact frame.
+
+    Face-normal SAT: pick the single least-overlap axis over BOTH hulls'
+    face normals, then emit the 8 deepest opposing vertices along that
+    shared axis. An earlier formulation gave every vertex its own argmax
+    face normal; under a firm two-finger pinch the fingers sink a few mm
+    into the object, per-vertex argmaxes flip to SIDE faces of the finger
+    hull between steps, and the resulting rotated contact forces launch
+    the object (MuJoCo holds the same grasp with one stable frame per
+    pair — mjc's convex narrowphase likewise computes a single direction
+    per pair). Edge-edge axes are not enumerated (same approximation as
+    before; box_box has its dedicated edge SAT)."""
     vw1, nw1, dw1 = _hull_world(p1, q1, v1, n1, d1)
     vw2, nw2, dw2 = _hull_world(p2, q2, v2, n2, d2)
-    pos_a, nf_a, dist_a = _verts_vs_faces(vw1, m1, nw2, dw2, 4, BIG)
-    pos_b, nf_b, dist_b = _verts_vs_faces(vw2, m2, nw1, dw1, 4, BIG)
+    # least-overlap face axis across both hulls (padded faces carry
+    # d=+BIG -> separation -BIG, never win; padded verts excluded by mask)
+    s21 = jnp.where(m1[:, None] > 0.5, vw1 @ nw2.T, BIG)   # (V1, F2)
+    sep2 = jnp.min(s21, axis=0) - dw2                      # (F2,)
+    s12 = jnp.where(m2[:, None] > 0.5, vw2 @ nw1.T, BIG)
+    sep1 = jnp.min(s12, axis=0) - dw1
+    f2 = jnp.argmax(sep2)
+    f1 = jnp.argmax(sep1)
+    use2 = sep2[f2] >= sep1[f1]       # contact face lives on hull 2
+    # verts of 1 against the chosen face of 2
+    nA, dA = nw2[f2], dw2[f2]
+    distA = jnp.where(m1 > 0.5, vw1 @ nA - dA, BIG)
+    negA, idxA = jax.lax.top_k(-distA, 8)
+    posA = vw1[idxA] - 0.5 * (-negA)[:, None] * nA
+    # verts of 2 against the chosen face of 1
+    nB, dB = nw1[f1], dw1[f1]
+    distB = jnp.where(m2 > 0.5, vw2 @ nB - dB, BIG)
+    negB, idxB = jax.lax.top_k(-distB, 8)
+    posB = vw2[idxB] - 0.5 * (-negB)[:, None] * nB
     # normal convention (from geom1 into geom2): vertex of 1 on a face of 2
     # -> -outward_n2; vertex of 2 on a face of 1 -> +outward_n1
-    pos = jnp.concatenate([pos_a, pos_b])
-    nrm = jnp.concatenate([-nf_a, nf_b])
-    dist = jnp.concatenate([dist_a, dist_b])
+    pos = jnp.where(use2, posA, posB)
+    nrm = jnp.broadcast_to(jnp.where(use2, -nA, nB), (8, 3))
+    dist = jnp.where(use2, -negA, -negB)
     return pos, nrm, dist
 
 

@@ -217,6 +217,8 @@ class ContactSet:
     J2: jax.Array        # (K, 6, mtdof)
     geom1: jax.Array     # (K,)
     geom2: jax.Array     # (K,)
+    sel: jax.Array = None  # (K,) int32 candidate index of each contact
+                           # (stable per (pair, point) slot: warm-start key)
     forces: jax.Array = None  # (K, 6) solved cone impulses (diagnostics;
                               # filled by constraint_forces)
 
@@ -300,6 +302,7 @@ def make_contacts(model: Model, kin: Kin, ncon: int) -> ContactSet:
         pos=pos, frame=frame, dist=dist, active=active, dim_mask=dim_mask,
         friction=friction, solref=solref, solimp=solimp, margin=margin,
         tree1=tree1, tree2=tree2, J1=J1, J2=J2, geom1=g1, geom2=g2,
+        sel=sel,
     )
 
 
@@ -372,9 +375,24 @@ def _scalar_rows(model: Model, state: State):
 
 
 def constraint_forces(model: Model, state: State, kin: Kin, minv: jax.Array,
-                      qacc_smooth: jax.Array, ncon: int, iterations: int):
-    """Solve for constraint impulses; returns qfrc_constraint (nv,) and the
-    ContactSet (for diagnostics / grasp detection).
+                      qacc_smooth: jax.Array, ncon: int, iterations: int,
+                      warm=None):
+    """Solve for constraint impulses; returns (qfrc_constraint (nv,),
+    ContactSet (for diagnostics / grasp detection), warm′).
+
+    ``warm`` is the previous step's solution in CANDIDATE space — a pair
+    (f_cand (ncand, 3), f_scalar (S,)) as produced by this function (build
+    a zero initial one with `init_warm`). Candidate slots are stable per
+    (pair, point) across steps, so gathering the previous forces through
+    the current top-k selection warm-starts the APGD exactly like
+    MuJoCo's warmstart of efc_force. This matters enormously for stiff
+    persistent contact: a two-finger pinch stalls the gripper motor at
+    several thousand newtons of normal force, reached by ACCUMULATING the
+    solution across steps — a cold start from zero re-converges the whole
+    force from scratch every 2 ms and never gets there before the fingers
+    crush through the object (verified against MuJoCo on the grasp-parity
+    box pinch: mj holds at ~6 kN, the cold-started solve plateaued ~40x
+    low and the object was ejected).
 
     ``minv`` is the explicit per-tree M^-1 block stack (ntree, mt, mt) from
     dynamics.inv_blocks: every M^-1 application below — Delassus blocks,
@@ -422,6 +440,20 @@ def constraint_forces(model: Model, state: State, kin: Kin, minv: jax.Array,
     # and required for boundedness of the dual problem
     resistible = diagA[:, 0] > 1e-9
     active = con.active & resistible
+    # KNOWN DEVIATION (motor-stall pinches): MuJoCo's default pyramidal
+    # cone splits a sticking contact's normal force over 2(condim-1)
+    # facet rows, each with its own regularizer — the effective normal
+    # compliance in stiction is up to ~20x stiffer than the nominal
+    # soft-constraint spring, so a motor-driven two-finger pinch stalls
+    # there at ~kN forces within a few mm (measured mj: 11.7 kN at 5 mm
+    # penetration on the grasp-parity box). Our elliptic-cone dual with
+    # the nominal R reaches its (converged, verified vs dense solve)
+    # optimum near ~0.5 kN at the same state, so hard pinches sink deeper
+    # and can squeeze rigid objects out where MuJoCo holds them. Matching
+    # this regime needs an implicitly-coupled (Newton-style) solve of the
+    # facet model, not a larger iteration budget — tracked for a future
+    # round; grasp tests gate the behaviors that DO match (see
+    # tests/test_grasp_parity.py).
     R_norm = (1.0 - imp) / imp * jnp.maximum(diagA[:, 0], 1e-10)
     R_fric = ((1.0 - imp) / imp)[:, None] * jnp.maximum(diagA[:, 1:], 1e-10) / h_ref
     Rrow = jnp.concatenate([R_norm[:, None], R_fric], axis=1)     # (K, 6)
@@ -494,38 +526,23 @@ def constraint_forces(model: Model, state: State, kin: Kin, minv: jax.Array,
         xdof = X[: t.ntree][t.dof_tree, t.dof_treeidx]          # (nv,)
         return a_con, Js @ xdof
 
-    # ---- accelerated projected gradient, per-contact *scalar* steps.
-    # A scalar-times-identity step per contact commutes with the blockwise
-    # cone projection (the contraction argument survives, unlike a full block
-    # preconditioner + Euclidean projection, which can expand by sqrt(cond)).
-    # The scalar is a Gershgorin bound on the contact's translational Delassus
-    # block, divided by the number of active contacts sharing its trees
-    # ("mass splitting"): isolated contacts converge in a few iterations,
-    # clusters relax jointly with a guaranteed-contractive step — fully
-    # parallel, unlike MuJoCo's sequential PGS sweep.
-    # per-tree active-row counts include the scalar rows' dofs so the mass
-    # splitting stays contractive with all families in one program
-    deg_tree = (
-        jnp.zeros(t.ntree + 1, dtype)
-        .at[con.tree1].add(jnp.where(active, 1.0, 0.0))
-        .at[con.tree2].add(jnp.where(active, 1.0, 0.0))
-    )
-    if srows is not None:
-        # each scalar row touches dofs of exactly one tree: take the tree of
-        # its largest-|J| dof
-        srow_dof = jnp.argmax(jnp.abs(Js), axis=1)
-        srow_tree = jnp.asarray(t.dof_tree)[srow_dof]
-        deg_tree = deg_tree.at[srow_tree].add(
-            jnp.where(act_s, 1.0, 0.0))
-    deg_tree = deg_tree.at[t.ntree].set(0.0)
-    deg = jnp.maximum(deg_tree[con.tree1] + deg_tree[con.tree2], 1.0)
-    G3 = Gm[:, :3, :3]
-    lam3 = jnp.max(jnp.sum(jnp.abs(G3), axis=2) + Rrow[:, :3], axis=1)
-    s_c = 1.0 / (deg * jnp.maximum(lam3, 1e-8))
-    if srows is not None:
-        deg_s = jnp.maximum(deg_tree[srow_tree], 1.0)
-        s_s = 1.0 / (deg_s * jnp.maximum(diagAs + R_s, 1e-8))
-
+    # ---- accelerated projected gradient with a GLOBAL scalar step
+    # 1/lambda_max(A+R), estimated by power iteration on the coupled
+    # operator (contacts + scalar rows as one system). A scalar step
+    # commutes with the blockwise cone projection, so the FISTA
+    # contraction argument holds.
+    #
+    # History (load-bearing): an earlier "mass-splitting" step — Gershgorin
+    # bound per contact divided by the number of active contacts sharing
+    # its trees — is provably contractive but catastrophically small for
+    # contact CLUSTERS: in a two-finger pinch with ~16 active points on
+    # one tree it yields steps ~1/700, and the FISTA iterates creep ~0.1 N
+    # per iteration toward a multi-kN stall force. The solver then "looks
+    # converged" (f32 stagnation at a few hundred N) while MuJoCo's Newton
+    # reaches ~6 kN on the identical state, the fingers crush through the
+    # grasped object, and the pinch ejects it. The power-iteration step is
+    # typically 20-40x larger and the same scenario converges within ~100
+    # iterations (gated behaviorally by tests/test_grasp_parity.py).
     bm = jnp.where(rowmask, b_con, 0.0)
 
     def raw_matvec(f, f_s):
@@ -539,13 +556,39 @@ def constraint_forces(model: Model, state: State, kin: Kin, minv: jax.Array,
     def expand(f3):
         return jnp.concatenate([f3, jnp.zeros((K, 3), dtype)], axis=1)
 
+    def pow_body(carry, _):
+        v3, vs = carry
+        a_con, a_s = raw_matvec(expand(v3), vs)
+        a3 = a_con[:, :3]
+        nrm = jnp.sqrt(jnp.sum(a3 * a3)
+                       + (jnp.sum(a_s * a_s) if srows is not None else 0.0))
+        nrm = jnp.maximum(nrm, 1e-12)
+        return (a3 / nrm, (a_s / nrm if srows is not None else vs)), nrm
+
+    v0 = jnp.where(rowmask[:, :3], 1.0, 0.0)
+    v0 = v0 / jnp.maximum(jnp.sqrt(jnp.sum(v0 * v0)), 1e-12)
+    vs0 = (jnp.where(act_s, 1.0, 0.0) if srows is not None
+           else jnp.zeros((0,), dtype))
+    (_, _), nrms = jax.lax.scan(pow_body, (v0, vs0), None, length=10)
+    # 1.1x safety margin on the (under-)estimate; floor for the
+    # no-active-rows corner case
+    lam = jnp.maximum(1.1 * nrms[-1], 1e-6)
+    s_c = jnp.full((K,), 1.0, dtype) / lam
+    if srows is not None:
+        s_s = 1.0 / lam
+
     def project_s(f_s):
         f_s = jnp.where(jnp.asarray(lb_s), jnp.maximum(f_s, 0.0), f_s)
         return jnp.where(act_s, f_s, 0.0)
 
-    f0 = jnp.zeros((K, 3), dtype)
-    fs0 = (jnp.zeros((S,), dtype) if srows is not None
-           else jnp.zeros((0,), dtype))
+    if warm is not None:
+        Ssel = jax.nn.one_hot(con.sel, warm[0].shape[0], dtype=dtype)
+        f0 = project3(Ssel @ warm[0])
+        fs0 = project_s(warm[1]) if srows is not None else warm[1]
+    else:
+        f0 = jnp.zeros((K, 3), dtype)
+        fs0 = (jnp.zeros((S,), dtype) if srows is not None
+               else jnp.zeros((0,), dtype))
 
     def body(carry, _):
         f, fs, y, ys, tk = carry
@@ -592,7 +635,34 @@ def constraint_forces(model: Model, state: State, kin: Kin, minv: jax.Array,
     if srows is not None:
         qfrc = qfrc + Js.T @ f_s
     con = con.replace(forces=f_con)
-    return qfrc, con
+    Ssel = jax.nn.one_hot(con.sel, n_candidates(model), dtype=dtype)
+    warm_new = (jnp.einsum("kc,kr->cr", Ssel, f3), f_s)
+    return qfrc, con, warm_new
+
+
+def n_candidates(model: Model) -> int:
+    """Static number of narrowphase candidate points (the warm-start
+    vector's length; matches collide()'s concatenated output)."""
+    t = model.topo
+    total = 0
+    for (t1, t2, idx) in t.pair_groups:
+        cap = min(len(idx), BROADPHASE_CAP)
+        if (t1, t2) in collision.NARROWPHASE:
+            k = collision.NARROWPHASE[(t1, t2)][1]
+        else:
+            k = collision.HULL_NARROWPHASE[(t1, t2)][1]
+        total += cap * k
+    return total
+
+
+def init_warm(model: Model, state: State, dtype=None):
+    """Zero warm-start pytree for `constraint_forces` / `step_warm`:
+    (candidate forces (ncand, 3), scalar-row forces (S,))."""
+    dtype = dtype or state.qvel.dtype
+    srows = _scalar_rows(model, state)
+    S = 0 if srows is None else srows[0].shape[0]
+    return (jnp.zeros((n_candidates(model), 3), dtype),
+            jnp.zeros((S,), dtype))
 
 
 

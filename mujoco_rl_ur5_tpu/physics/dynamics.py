@@ -281,11 +281,24 @@ def forward(model: Model, state: State, ncon: int = 0, iterations: int = 30):
     positions fetched through one-hot matmuls by ~0.4% (millimetres at
     workspace scale) and inject like-sized errors into contact forces.
     """
+    qacc, kin, contacts, _ = forward_warm(model, state, None, ncon,
+                                          iterations)
+    return qacc, kin, contacts
+
+
+def forward_warm(model: Model, state: State, warm, ncon: int = 0,
+                 iterations: int = 30):
+    """`forward` with constraint-solver warm starting: pass the previous
+    step's warm pytree (constraints.init_warm for the first step); returns
+    (qacc, kin, contacts, warm'). Warm starting is what lets stiff
+    persistent contacts (two-finger pinches) build up to their stall
+    forces across steps — see constraints.constraint_forces."""
     with jax.default_matmul_precision("float32"):
-        return _forward_impl(model, state, ncon, iterations)
+        return _forward_impl(model, state, ncon, iterations, warm)
 
 
-def _forward_impl(model: Model, state: State, ncon: int, iterations: int):
+def _forward_impl(model: Model, state: State, ncon: int, iterations: int,
+                  warm=None):
     t = model.topo
     h = t.timestep
     kin = fk(model, state.qpos)
@@ -310,22 +323,38 @@ def _forward_impl(model: Model, state: State, ncon: int, iterations: int):
     )
     qfrc_constraint = 0.0
     contacts = None
+    warm_new = warm
     if ncon > 0:
         from mujoco_rl_ur5_tpu.physics.constraints import constraint_forces
 
         minv = inv_blocks(mblocks)
         qacc_smooth = minv_apply(model, minv, qfrc_smooth)
-        qfrc_constraint, contacts = constraint_forces(
-            model, state, kin, minv, qacc_smooth, ncon, iterations
+        qfrc_constraint, contacts, warm_new = constraint_forces(
+            model, state, kin, minv, qacc_smooth, ncon, iterations,
+            warm=warm
         )
     qacc = solve_blocks(model, chol_mhb, qfrc_smooth + qfrc_constraint)
-    return qacc, kin, contacts
+    return qacc, kin, contacts, warm_new
 
 
 def step(model: Model, state: State, ncon: int = 0, iterations: int = 30) -> State:
     """One semi-implicit Euler step (single scenario; vmap for batches)."""
+    state, _ = step_warm(model, state, None, ncon=ncon,
+                         iterations=iterations)
+    return state
+
+
+def step_warm(model: Model, state: State, warm, ncon: int = 0,
+              iterations: int = 30):
+    """One step with constraint warm starting; returns (State, warm').
+    Thread warm' through step loops (controller moves, env phases, MPC
+    plan execution) so persistent-contact forces accumulate like MuJoCo's
+    warmstarted solver; start from constraints.init_warm (or None for a
+    cold start)."""
     h = model.topo.timestep
-    qacc, _, _ = forward(model, state, ncon=ncon, iterations=iterations)
+    qacc, _, _, warm_new = forward_warm(model, state, warm, ncon=ncon,
+                                        iterations=iterations)
     qvel = state.qvel + h * qacc
     qpos = integrate_qpos(model, state.qpos, qvel, h)
-    return state.replace(qpos=qpos, qvel=qvel, time=state.time + h)
+    return (state.replace(qpos=qpos, qvel=qvel, time=state.time + h),
+            warm_new)
