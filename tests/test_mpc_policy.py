@@ -76,19 +76,51 @@ def test_mpc_policy_move_tracks_contact_free(setup):
     gated in test_mpc_parity.py; this gates the executed CARTESIAN
     error). substeps=16 gives the move the reference-scale 0.8 s budget —
     the full home -> bin swing is torque-infeasible in 0.4 s and the
-    tracking optimum then saturates the actuators (measured 0.3 m
-    short)."""
-    model, arm, qpos, qa_box = setup
-    mpc = GraspMPC(model, arm_model=arm, horizon=25, substeps=16,
-                   use_pallas=False)
-    pol = MPCGraspPolicy(model, mpc, ncon=64)
-    state = make_state(model).replace(qpos=jnp.asarray(qpos, jnp.float32))
-    pid = pid_init(pol.nu)
-    st, ps, err = pol.move_to(state, pid, jnp.asarray([0.0, -0.6, 1.1],
-                                                      jnp.float32),
-                              jnp.asarray(0.0, jnp.float32))
-    assert float(err) < 5e-3, f"executed EE error {float(err)}"
-    assert bool(jnp.isfinite(st.qpos).all())
+    tracking optimum then saturates the actuators (measured 0.3 m short).
+
+    Runs in a SUBPROCESS: compiling this (largest-in-module) track
+    program after the other tests' compiles reproducibly segfaults the
+    XLA:CPU backend in this environment, while the identical compile
+    succeeds in a fresh process (same workaround and reasoning as
+    tests/test_mpc.py's solve_batch test)."""
+    import subprocess
+    import sys
+
+    script = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np, jax.numpy as jnp
+from mujoco_rl_ur5_tpu.control.pid import pid_init
+from mujoco_rl_ur5_tpu.mpc import GraspMPC, MPCGraspPolicy
+from mujoco_rl_ur5_tpu.scene import load_model, make_state
+from mujoco_rl_ur5_tpu.scene.mjcf import JNT_FREE
+from mujoco_rl_ur5_tpu.scene.reduce import load_arm_model
+model = load_model({SCENE!r})
+arm = load_arm_model({SCENE!r})
+t = model.topo
+qpos = np.asarray(model.qpos0).copy()
+qpos[:8] = np.asarray({list(HOME)!r})
+free = np.nonzero(t.jnt_type == JNT_FREE)[0]
+for k, j in enumerate(free):
+    qa = t.jnt_qposadr[j]
+    qpos[qa:qa + 3] = [40 + 2 * k, 40, 5.0]
+    qpos[qa + 3:qa + 7] = [1, 0, 0, 0]
+mpc = GraspMPC(model, arm_model=arm, horizon=25, substeps=16,
+               use_pallas=False)
+pol = MPCGraspPolicy(model, mpc, ncon=64)
+state = make_state(model).replace(qpos=jnp.asarray(qpos, jnp.float32))
+pid = pid_init(pol.nu)
+st, ps, err = pol.move_to(state, pid,
+                          jnp.asarray([0.0, -0.6, 1.1], jnp.float32),
+                          jnp.asarray(0.0, jnp.float32))
+assert float(err) < 5e-3, float(err)
+assert bool(jnp.isfinite(st.qpos).all())
+print('MOVE_TRACKS_OK', float(err))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=1500, cwd="/root/repo")
+    assert "MOVE_TRACKS_OK" in out.stdout, (out.returncode, out.stderr[-2000:])
 
 
 def test_env_step_mpc_batched(setup):
