@@ -48,7 +48,7 @@ import numpy as np
 from flax import struct
 
 from mujoco_rl_ur5_tpu.ops.spatial import quat_mul, quat_rotate
-from mujoco_rl_ur5_tpu.physics import collision
+from mujoco_rl_ur5_tpu.physics import collision, pallas_collide
 from mujoco_rl_ur5_tpu.physics.kinematics import Kin, geom_poses
 from mujoco_rl_ur5_tpu.scene.model import Model, State
 
@@ -159,10 +159,13 @@ def collide(model: Model, kin: Kin):
         p1, q1, s1 = P1 @ cpos, P1 @ cquat, P1 @ model.col_size
         p2, q2, s2 = P2 @ cpos, P2 @ cquat, P2 @ model.col_size
         if (t1, t2) in collision.NARROWPHASE:
-            fn, k = collision.NARROWPHASE[(t1, t2)]
-            p, n, d = jax.vmap(fn)(p1, q1, s1, p2, q2, s2)
+            _, k = collision.NARROWPHASE[(t1, t2)]
+            # custom_vmap dispatch: the reference jnp path per-scenario /
+            # off-TPU, the batch-in-lanes Pallas kernel under the scenario
+            # vmap on TPU (physics/pallas_collide.py)
+            p, n, d = pallas_collide.dispatch(t1, t2, p1, q1, s1, p2, q2, s2)
         else:
-            fn, k = collision.HULL_NARROWPHASE[(t1, t2)]
+            _, k = collision.HULL_NARROWPHASE[(t1, t2)]
             # geom -> mesh-slot one-hot composed through the pair one-hot
             g2m = _onehot_np(
                 np.maximum(np.asarray(t.geom_meshid), 0), t.nmesh, dtype)
@@ -173,7 +176,8 @@ def collide(model: Model, kin: Kin):
                   H2 @ model.hull_fdist)
             if t1 == collision.GEOM_MESH:
                 H1 = P1 @ jnp.asarray(g2m)
-                p, n, d = jax.vmap(fn)(
+                p, n, d = pallas_collide.dispatch_hull(
+                    t1,
                     p1, q1,
                     jnp.einsum("pm,mvd->pvd", H1, model.hull_verts),
                     H1 @ model.hull_vmask,
@@ -182,7 +186,8 @@ def collide(model: Model, kin: Kin):
                     p2, q2, *h2,
                 )
             else:
-                p, n, d = jax.vmap(fn)(p1, q1, s1, p2, q2, *h2)
+                p, n, d = pallas_collide.dispatch_hull(
+                    t1, p1, q1, s1, p2, q2, *h2)
         pos_l.append(p.reshape(-1, 3))
         n_l.append(n.reshape(-1, 3))
         dist_l.append(d.reshape(-1))
